@@ -1,0 +1,250 @@
+"""Light-transport integrators as batched megakernels.
+
+TPU-native re-design of the reference integrator family
+(reference: src/integrator.h:27-122, src/integrator.cc). The reference
+traces one ray at a time through virtual calls; here a whole wave of paths
+advances in lockstep through a statically-unrolled bounce loop with per-lane
+active masks — the masked-megakernel architecture (wavefront compaction is a
+possible later refinement; see PAPERS.md megakernel-vs-wavefront).
+
+`li_path` reproduces the estimator of FPathIntegratorIteration::Li exactly
+(reference: src/integrator.cc:316-403):
+  * emission only at bounce 0 or after a specular bounce (no MIS),
+  * NEE over every scene light for non-delta BSDFs,
+  * russian roulette from bounce 3 with q = max(0.05, 1 - maxcomp(f)) — note
+    the reference uses the *sampled f*, not throughput, and we match it,
+  * termination at max_depth.
+An optional power-heuristic MIS mode (`mis=True`) is the documented upgrade
+the reference defines but never wires in (reference: src/sampling.h:128-137).
+
+Differentiability: sampled directions, pdfs, and RR decisions are
+stop-gradiented (detached sampling); radiance weights (f, Li, emission)
+stay on the tape, making the estimate differentiable w.r.t. material and
+emission parameters.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import bsdf as bsdf_ops
+from ..ops import lights as light_ops
+from ..ops import rng
+from ..ops.linalg import (
+    absdot,
+    dot,
+    frame_from_z,
+    to_local,
+    to_world,
+    max_component,
+    is_black,
+    RAY_EPS,
+)
+from ..ops.sampling import power_heuristic
+from ..scene import pack as scene_pack
+
+_sg = jax.lax.stop_gradient
+
+
+def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False):
+    """Iterative path-traced radiance for a ray batch.
+
+    o, d: [N,3] primary rays; u: [N, max_depth+1, S] path uniforms
+    (see ops/rng.py). Returns L [N,3].
+    """
+    n = o.shape[0]
+    nl = meta.n_lights
+    L = jnp.zeros((n, 3), jnp.float32)
+    beta = jnp.ones((n, 3), jnp.float32)
+    active = jnp.ones((n,), bool)
+    prev_specular = jnp.zeros((n,), bool)
+    # pdf of the previous BSDF sample, for MIS weighting of emission hits
+    prev_pdf = jnp.zeros((n,), jnp.float32)
+    ray_o, ray_d = o, d
+    tmin = jnp.full((n,), RAY_EPS, jnp.float32)
+    tmax = jnp.full((n,), jnp.inf, jnp.float32)
+
+    for bounce in range(max_depth + 1):
+        hit = scene_pack.intersect(meta, pack, ray_o, ray_d, tmin, tmax)
+
+        # -- emission (reference: src/integrator.cc:328-337) --------------
+        gate = active if bounce == 0 else (active & prev_specular)
+        le_hit = scene_pack.emitted(pack, hit)
+        le_env = light_ops.env_radiance(meta, pack, n)
+        le = jnp.where(hit.valid[:, None], le_hit, le_env)
+        L = L + jnp.where(gate[:, None], beta * le, 0.0)
+
+        if mis and bounce > 0:
+            # MIS complement of NEE: credit BSDF-sampled emitter hits that
+            # the reference simply drops (reference has no MIS).
+            w_area = jnp.zeros((n,), jnp.float32)
+            for li_idx in range(nl):
+                lm = meta.lights[li_idx]
+                if lm.kind == scene_pack.LIGHT_AREA:
+                    pl = light_ops.pdf_li(meta, pack, li_idx, ray_o, ray_d)
+                    is_this = hit.valid & (hit.light_id == li_idx)
+                    w = power_heuristic(1.0, prev_pdf, 1.0, pl)
+                    w_area = jnp.where(is_this, w, w_area)
+                elif lm.kind == scene_pack.LIGHT_ENV:
+                    pl = light_ops.pdf_li(meta, pack, li_idx, ray_o, ray_d)
+                    w = power_heuristic(1.0, prev_pdf, 1.0, pl)
+                    w_area = jnp.where(~hit.valid, w, w_area)
+            gate_mis = active & ~prev_specular
+            L = L + jnp.where(
+                gate_mis[:, None], beta * le * _sg(w_area)[:, None], 0.0
+            )
+
+        # -- termination (reference: src/integrator.cc:340-343) ------------
+        if bounce >= max_depth:
+            break
+        cont = active & hit.valid
+
+        # -- resolve BSDF lobe (reference: src/integrator.cc:348) ----------
+        u_vertex = u[:, bounce, :]
+        mat_kind, c0, c1, s0, s1, remap = scene_pack.gather_material(
+            pack, hit.mat_id
+        )
+        lobe = bsdf_ops.make_lobe(
+            mat_kind, c0, c1, s0, s1, remap, rng.stream_lobe(u_vertex)
+        )
+        delta = bsdf_ops.is_delta(lobe)
+        frame = frame_from_z(hit.normal)
+        wo_local = to_local(frame, hit.wo)
+
+        # -- NEE over all lights (reference: src/integrator.cc:357-372) ----
+        for li_idx in range(nl):
+            ls = light_ops.sample_li(
+                meta, pack, li_idx, hit.position, rng.stream_nee(u_vertex, li_idx)
+            )
+            wi_local = to_local(frame, _sg(ls.wi))
+            f = bsdf_ops.eval_f(lobe, wo_local, wi_local)
+            useful = (
+                cont
+                & ~delta
+                & (_sg(ls.pdf) > 0.0)
+                & ~is_black(ls.li)
+                & ~is_black(f)
+            )
+            # trace shadow rays only where useful is possible; the masked
+            # lanes still traverse (SIMT), but correctness needs the mask.
+            occ = scene_pack.occluded(meta, pack, hit.position, _sg(ls.pos))
+            if mis and not scene_pack.light_is_delta(meta, li_idx):
+                pb = bsdf_ops.pdf(lobe, wo_local, wi_local)
+                w_l = power_heuristic(1.0, _sg(ls.pdf), 1.0, _sg(pb))
+            else:
+                w_l = 1.0
+            contrib = (
+                beta
+                * f
+                * ls.li
+                * (absdot(_sg(ls.wi), hit.normal) / jnp.maximum(_sg(ls.pdf), 1e-20))[
+                    :, None
+                ]
+            ) * (w_l if isinstance(w_l, float) else w_l[:, None])
+            L = L + jnp.where((useful & ~occ)[:, None], contrib, 0.0)
+
+        # -- BSDF sampling (reference: src/integrator.cc:375-379) ----------
+        bs = bsdf_ops.sample(lobe, wo_local, rng.stream_bsdf(u_vertex, nl))
+        wi_world = _sg(to_world(frame, bs.wi))
+        pdf_b = _sg(bs.pdf)
+        sample_ok = (pdf_b > 0.0) & ~is_black(bs.f)
+
+        # -- russian roulette (reference: src/integrator.cc:383-393) -------
+        if bounce >= 3:
+            q = jnp.maximum(0.05, 1.0 - max_component(_sg(bs.f)))
+            rr_die = rng.stream_rr(u_vertex, nl) < q
+            rr_scale = 1.0 / jnp.maximum(1.0 - q, 1e-6)
+        else:
+            rr_die = jnp.zeros((n,), bool)
+            rr_scale = jnp.ones((n,), jnp.float32)
+
+        active = cont & sample_ok & ~rr_die
+        weight = (
+            bs.f
+            * (absdot(wi_world, hit.normal) / jnp.maximum(pdf_b, 1e-20))[:, None]
+            * rr_scale[:, None]
+        )
+        beta = jnp.where(active[:, None], beta * weight, beta)
+        prev_specular = bs.is_specular
+        prev_pdf = pdf_b
+        ray_o = jnp.where(active[:, None], hit.position, ray_o)
+        ray_d = jnp.where(active[:, None], wi_world, ray_d)
+
+    # invalid-sample guard (reference: src/integrator.cc:104 checks validity)
+    return jnp.where(jnp.isfinite(L), L, 0.0)
+
+
+def li_debug_normal(meta, pack, o, d):
+    """Normal visualization (reference: src/integrator.h:44-58):
+    abs(normal) on hit, black on miss."""
+    n = o.shape[0]
+    tmin = jnp.full((n,), RAY_EPS, jnp.float32)
+    tmax = jnp.full((n,), jnp.inf, jnp.float32)
+    hit = scene_pack.intersect(meta, pack, o, d, tmin, tmax)
+    return jnp.where(hit.valid[:, None], jnp.abs(hit.normal), 0.0)
+
+
+def li_whitted(meta, pack, o, d, u, max_depth: int):
+    """Whitted-style integrator (reference: src/integrator.cc:115-220):
+    NEE at every hit; continuation only through specular lobes.
+
+    Expressed iteratively with masks: a path keeps bouncing only while its
+    lobe is delta (specular reflect/transmit), matching the reference's
+    recursion which only recurses through SpecularReflect/Transmit.
+    """
+    n = o.shape[0]
+    nl = meta.n_lights
+    L = jnp.zeros((n, 3), jnp.float32)
+    beta = jnp.ones((n, 3), jnp.float32)
+    active = jnp.ones((n,), bool)
+    ray_o, ray_d = o, d
+    tmin = jnp.full((n,), RAY_EPS, jnp.float32)
+    tmax = jnp.full((n,), jnp.inf, jnp.float32)
+
+    for bounce in range(max_depth + 1):
+        hit = scene_pack.intersect(meta, pack, ray_o, ray_d, tmin, tmax)
+        le_hit = scene_pack.emitted(pack, hit)
+        le_env = light_ops.env_radiance(meta, pack, n)
+        le = jnp.where(hit.valid[:, None], le_hit, le_env)
+        # Whitted adds emission at every depth (reference: src/integrator.cc:127-137)
+        L = L + jnp.where(active[:, None], beta * le, 0.0)
+
+        if bounce >= max_depth:
+            break
+        cont = active & hit.valid
+
+        u_vertex = u[:, bounce, :]
+        mat_kind, c0, c1, s0, s1, remap = scene_pack.gather_material(
+            pack, hit.mat_id
+        )
+        lobe = bsdf_ops.make_lobe(
+            mat_kind, c0, c1, s0, s1, remap, rng.stream_lobe(u_vertex)
+        )
+        delta = bsdf_ops.is_delta(lobe)
+        frame = frame_from_z(hit.normal)
+        wo_local = to_local(frame, hit.wo)
+
+        for li_idx in range(nl):
+            ls = light_ops.sample_li(
+                meta, pack, li_idx, hit.position, rng.stream_nee(u_vertex, li_idx)
+            )
+            wi_local = to_local(frame, _sg(ls.wi))
+            f = bsdf_ops.eval_f(lobe, wo_local, wi_local)
+            useful = cont & ~delta & (_sg(ls.pdf) > 0.0) & ~is_black(ls.li) & ~is_black(f)
+            occ = scene_pack.occluded(meta, pack, hit.position, _sg(ls.pos))
+            contrib = beta * f * ls.li * (
+                absdot(_sg(ls.wi), hit.normal) / jnp.maximum(_sg(ls.pdf), 1e-20)
+            )[:, None]
+            L = L + jnp.where((useful & ~occ)[:, None], contrib, 0.0)
+
+        bs = bsdf_ops.sample(lobe, wo_local, rng.stream_bsdf(u_vertex, nl))
+        wi_world = _sg(to_world(frame, bs.wi))
+        pdf_b = _sg(bs.pdf)
+        # continue only through specular lobes (reference: src/integrator.cc:171-220)
+        active = cont & delta & (pdf_b > 0.0) & ~is_black(bs.f)
+        weight = bs.f * (absdot(wi_world, hit.normal) / jnp.maximum(pdf_b, 1e-20))[:, None]
+        beta = jnp.where(active[:, None], beta * weight, beta)
+        ray_o = jnp.where(active[:, None], hit.position, ray_o)
+        ray_d = jnp.where(active[:, None], wi_world, ray_d)
+
+    return jnp.where(jnp.isfinite(L), L, 0.0)

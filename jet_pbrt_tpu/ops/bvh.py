@@ -1,0 +1,192 @@
+"""Bounding-volume hierarchy: host-side build, flattened skip-link layout,
+stackless batched traversal.
+
+TPU-native replacement for the reference's recursive pointer BVH
+(reference: src/bvh.h:54-146). Three deliberate design divergences, all
+documented in SURVEY.md §7:
+
+* Build axis: the reference splits on a *random* axis seeded by libc rand
+  (reference: src/bvh.h:61); we split the longest axis of the centroid
+  bounds (deterministic, and a strictly better partition).
+* Layout: instead of heap nodes with child pointers, nodes are flattened in
+  DFS preorder into SoA arrays with a *miss link* (skip pointer): on an AABB
+  hit the next node is simply `i+1`; on a miss (or after a leaf) it is
+  `miss[i]`. Traversal needs no stack at all — each ray carries one int32 —
+  which is exactly what a lockstep SIMD while-loop wants.
+* Leaves hold exactly `LEAF_SIZE` slots (padded by duplicating the last
+  triangle), so the leaf-intersection loop is a static unroll with no
+  dynamic trip count (the reference's leaves hold <=5, reference: src/bvh.h:15).
+
+The traversal is a single `lax.while_loop` over the whole ray batch: every
+live ray advances one node per iteration; finished rays idle until the batch
+drains. Ray coherence (camera tiles) keeps the lockstep loss small.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from .intersect import KindHit
+
+LEAF_SIZE = 4
+
+
+def build_bvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
+              leaf_size: int = LEAF_SIZE):
+    """Median-split BVH over triangles.
+
+    Returns ((bmin[B,3], bmax[B,3], miss[B], leaf_first[B], leaf_count[B]),
+    order[T']) where `order` is the triangle permutation+padding that makes
+    every leaf's triangles contiguous and exactly `leaf_size` long (padding
+    duplicates the leaf's last real triangle — harmless for closest-hit).
+    leaf_first = -1 marks inner nodes.
+    """
+    assert leaf_size == LEAF_SIZE, "traversal unrolls LEAF_SIZE statically"
+    t = len(p0)
+    tri_bmin = np.minimum(np.minimum(p0, p1), p2).astype(np.float32)
+    tri_bmax = np.maximum(np.maximum(p0, p1), p2).astype(np.float32)
+    # pad degenerate (axis-thin) boxes like CheckThinness
+    # (reference: src/geometry.h:299-304)
+    thin = (tri_bmax - tri_bmin) < 1e-4
+    tri_bmin = np.where(thin, tri_bmin - 1e-4, tri_bmin)
+    tri_bmax = np.where(thin, tri_bmax + 1e-4, tri_bmax)
+    centers = 0.5 * (tri_bmin + tri_bmax)
+
+    # pass 1: build the tree as index arrays + subtree node counts
+    tree = []  # rows: [bmin, bmax, left_child_row or -1, tri_indices or None]
+
+    def rec(idx: np.ndarray) -> int:
+        row = len(tree)
+        bb_min = tri_bmin[idx].min(0)
+        bb_max = tri_bmax[idx].max(0)
+        tree.append([bb_min, bb_max, -1, -1, None, 1])
+        if len(idx) <= leaf_size:
+            tree[row][4] = idx
+            return row
+        axis = int(np.argmax(bb_max - bb_min))
+        ordered = idx[np.argsort(centers[idx, axis], kind="stable")]
+        half = len(ordered) // 2
+        l = rec(ordered[:half])
+        r = rec(ordered[half:])
+        tree[row][2] = l
+        tree[row][3] = r
+        tree[row][5] = 1 + tree[l][5] + tree[r][5]
+        return row
+
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 10000))
+    try:
+        rec(np.arange(t))
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    # pass 2: DFS-preorder flatten with skip (miss) links
+    n_nodes = tree[0][5]
+    bmin = np.zeros((n_nodes, 3), np.float32)
+    bmax = np.zeros((n_nodes, 3), np.float32)
+    miss = np.zeros((n_nodes,), np.int32)
+    leaf_first = np.full((n_nodes,), -1, np.int32)
+    leaf_count = np.zeros((n_nodes,), np.int32)
+    order: list[int] = []
+
+    def emit(row: int, skip: int) -> None:
+        stack = [(row, skip)]
+        while stack:
+            row, skip = stack.pop()
+            i = len(emit.seen)
+            emit.seen.append(row)
+            bmin[i], bmax[i] = tree[row][0], tree[row][1]
+            miss[i] = skip
+            idx = tree[row][4]
+            if idx is not None:
+                first = len(order)
+                padded = list(idx) + [idx[-1]] * (leaf_size - len(idx))
+                order.extend(padded)
+                leaf_first[i] = first
+                leaf_count[i] = len(idx)
+            else:
+                l, r = tree[row][2], tree[row][3]
+                right_start = i + 1 + tree[l][5]
+                # LIFO: push right first so left is emitted at i+1
+                stack.append((r, skip))
+                stack.append((l, right_start))
+
+    emit.seen = []
+    emit(0, n_nodes)
+    return (bmin, bmax, miss, leaf_first, leaf_count), np.asarray(order, np.int64)
+
+
+def intersect_bvh(pack, o, d, tmin, tmax) -> KindHit:
+    """Batched stackless closest-hit traversal over the flattened BVH.
+
+    Replaces the recursive traverse-both-children scheme
+    (reference: src/bvh.h:94-146) with a skip-link walk; the functional
+    `t_best` min-update replaces the reference's mutable ray.max_t shrink.
+    """
+    n = o.shape[0]
+    n_nodes = pack.bvh_bmin.shape[0]
+
+    safe_d = jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
+    inv_d = 1.0 / safe_d
+
+    def body(state):
+        node, t_best, idx_best = state
+        live = node < n_nodes
+        nd = jnp.minimum(node, n_nodes - 1)
+        bb_min = pack.bvh_bmin[nd]
+        bb_max = pack.bvh_bmax[nd]
+        t0 = (bb_min - o) * inv_d
+        t1 = (bb_max - o) * inv_d
+        t_lo = jnp.minimum(t0, t1)
+        t_hi = jnp.maximum(t0, t1)
+        t_enter = jnp.max(t_lo, axis=-1)
+        t_exit = jnp.min(t_hi, axis=-1)
+        box_hit = (t_enter <= t_exit) & (t_exit > tmin) & (
+            t_enter < jnp.minimum(tmax, t_best)
+        ) & live
+
+        first = pack.bvh_leaf_first[nd]
+        count = pack.bvh_leaf_count[nd]
+        is_leaf = first >= 0
+        do_leaf = box_hit & is_leaf
+
+        # static LEAF_SIZE-way unrolled Möller-Trumbore on gathered triangles
+        for k in range(LEAF_SIZE):
+            ti = jnp.clip(first + k, 0, pack.tri_p0.shape[0] - 1)
+            a = pack.tri_p0[ti]
+            e1 = pack.tri_p1[ti] - a
+            e2 = pack.tri_p2[ti] - a
+            pv = jnp.cross(d, e2)
+            det = jnp.sum(e1 * pv, axis=-1)
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tv = o - a
+            uu = jnp.sum(tv * pv, axis=-1) * inv_det
+            qv = jnp.cross(tv, e1)
+            vv = jnp.sum(d * qv, axis=-1) * inv_det
+            tt = jnp.sum(e2 * qv, axis=-1) * inv_det
+            ok = (
+                do_leaf
+                & (k < count)
+                & (jnp.abs(det) > 1e-12)
+                & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                & (tt > tmin) & (tt < jnp.minimum(tmax, t_best))
+            )
+            t_best = jnp.where(ok, tt, t_best)
+            idx_best = jnp.where(ok, ti.astype(jnp.int32), idx_best)
+
+        go_deeper = box_hit & ~is_leaf
+        nxt = jnp.where(go_deeper, node + 1, pack.bvh_miss[nd])
+        node = jnp.where(live, nxt, node)
+        return node, t_best, idx_best
+
+    def cond(state):
+        node, _, _ = state
+        return jnp.any(node < n_nodes)
+
+    node0 = jnp.zeros((n,), jnp.int32)
+    t_best0 = jnp.full((n,), jnp.inf, jnp.float32)
+    idx0 = jnp.zeros((n,), jnp.int32)
+    _, t_best, idx_best = lax.while_loop(cond, body, (node0, t_best0, idx0))
+    return KindHit(t=t_best, index=idx_best, valid=jnp.isfinite(t_best))

@@ -1,0 +1,297 @@
+"""Host-side scene construction -> packed device scene.
+
+The Python-facing equivalent of FScene's Create* factory templates
+(reference: src/scene.h:66-124) and convenience builders
+(reference: src/scene.cc:49-97). Geometry/material/light rows accumulate in
+numpy lists and `build()` packs them into a (SceneMeta, ScenePack) pair plus
+a camera config; `Preprocess` (reference: src/scene.cc:11-23) corresponds to
+the world-bound computation here plus the optional BVH build.
+
+Note: the reference's CreateAreaLights has a bug — it registers the lights
+but returns an empty vector (reference: src/scene.cc:79-89). Our
+`add_area_light_mesh` registers one area light per triangle, which is what
+the reference actually does internally.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import bsdf as bsdf_ops
+from .pack import (
+    KIND_TRI, KIND_SPHERE, KIND_RECT, KIND_DISK,
+    LIGHT_POINT, LIGHT_DIRECTIONAL, LIGHT_AREA, LIGHT_ENV,
+    LightMeta, SceneMeta, ScenePack,
+)
+
+
+@dataclasses.dataclass
+class CameraConfig:
+    lookfrom: tuple
+    front: tuple
+    vup: tuple
+    vfov: float
+
+
+@dataclasses.dataclass
+class Scene:
+    """A built scene: static meta + device arrays + camera config."""
+    meta: SceneMeta
+    pack: ScenePack
+    camera: CameraConfig
+
+
+class SceneBuilder:
+    def __init__(self, name: str):
+        self.name = name
+        self.camera: CameraConfig | None = None
+        self._tri = []      # rows: (p0, p1, p2, n, mat, light)
+        self._sph = []      # rows: (c, r, mat, light)
+        self._rect = []     # rows: (q[4,3], n, mat, light)
+        self._disk = []     # rows: (c, n, r, mat, light)
+        self._mat = []      # rows: (kind, c0, c1, s0, s1, remap)
+        self._lights = []   # rows: (LightMeta, c, pos, dir)
+
+    # -- camera (reference: src/scene.h:67-73) ----------------------------
+    def set_camera(self, lookfrom, lookat=None, front=None, vup=(0, 1, 0),
+                   vfov=60.0):
+        if front is None:
+            front = np.asarray(lookat, np.float64) - np.asarray(lookfrom, np.float64)
+        self.camera = CameraConfig(
+            lookfrom=tuple(lookfrom), front=tuple(np.asarray(front, np.float64)),
+            vup=tuple(vup), vfov=float(vfov),
+        )
+
+    # -- materials (reference: src/material.h 5 concrete kinds) -----------
+    def _add_mat(self, kind, c0, c1=(0, 0, 0), s0=0.0, s1=0.0, remap=False) -> int:
+        self._mat.append((kind, np.asarray(c0, np.float32),
+                          np.asarray(c1, np.float32), float(s0), float(s1),
+                          bool(remap)))
+        return len(self._mat) - 1
+
+    def add_matte(self, color) -> int:
+        return self._add_mat(bsdf_ops.MAT_MATTE, color)
+
+    def add_mirror(self, color) -> int:
+        return self._add_mat(bsdf_ops.MAT_MIRROR, color)
+
+    def add_glass(self, eta: float, kr=(1, 1, 1), kt=(1, 1, 1)) -> int:
+        return self._add_mat(bsdf_ops.MAT_GLASS, kr, kt, eta)
+
+    def add_plastic(self, kd, ks, roughness: float, remap: bool = False) -> int:
+        return self._add_mat(bsdf_ops.MAT_PLASTIC, kd, ks, roughness, roughness, remap)
+
+    def add_metal(self, eta, k, urough: float, vrough: float,
+                  remap: bool = False) -> int:
+        return self._add_mat(bsdf_ops.MAT_METAL, eta, k, urough, vrough, remap)
+
+    # -- shapes ------------------------------------------------------------
+    def add_triangle(self, p0, p1, p2, mat: int, flip_normal=False):
+        p0, p1, p2 = (np.asarray(p, np.float32) for p in (p0, p1, p2))
+        n = np.cross(p1 - p0, p2 - p0)
+        norm = np.linalg.norm(n)
+        n = n / norm if norm > 0 else np.array([0, 0, 1], np.float32)
+        if flip_normal:
+            n = -n
+        self._tri.append([p0, p1, p2, n.astype(np.float32), mat, -1])
+        return (KIND_TRI, len(self._tri) - 1)
+
+    def add_mesh(self, tris, mat: int, flip_normal=False,
+                 flip_handedness=False, offset=(0, 0, 0), scale=1.0):
+        """tris: [T,3,3] vertex soup. Transform order matches the loader:
+        z-flip, then scale, then offset (reference: src/shape.cc:48-61)."""
+        tris = np.asarray(tris, np.float32).copy()
+        if flip_handedness:
+            tris[..., 2] *= -1.0
+        tris = tris * np.float32(scale) + np.asarray(offset, np.float32)
+        refs = []
+        for t in tris:
+            refs.append(self.add_triangle(t[0], t[1], t[2], mat, flip_normal))
+        return refs
+
+    def add_sphere(self, center, radius: float, mat: int):
+        self._sph.append([np.asarray(center, np.float32), float(radius), mat, -1])
+        return (KIND_SPHERE, len(self._sph) - 1)
+
+    def add_rect(self, q0, q1, q2, q3, mat: int, flip_normal=False):
+        q = np.stack([np.asarray(p, np.float32) for p in (q0, q1, q2, q3)])
+        n = np.cross(q[1] - q[0], q[2] - q[0])
+        n = n / np.linalg.norm(n)
+        if flip_normal:
+            n = -n
+        self._rect.append([q, n.astype(np.float32), mat, -1])
+        return (KIND_RECT, len(self._rect) - 1)
+
+    def add_rect_xy(self, x0, x1, y0, y1, z, mat: int, flip_normal=False):
+        """(reference: src/shape.cc:76-81)"""
+        return self.add_rect((x0, y0, z), (x1, y0, z), (x1, y1, z), (x0, y1, z),
+                             mat, flip_normal)
+
+    def add_rect_xz(self, x0, x1, z0, z1, y, mat: int, flip_normal=False):
+        """(reference: src/shape.cc:83-88)"""
+        return self.add_rect((x0, y, z0), (x0, y, z1), (x1, y, z1), (x1, y, z0),
+                             mat, flip_normal)
+
+    def add_rect_yz(self, y0, y1, z0, z1, x, mat: int, flip_normal=False):
+        """(reference: src/shape.cc:90-95)"""
+        return self.add_rect((x, y0, z0), (x, y1, z0), (x, y1, z1), (x, y0, z1),
+                             mat, flip_normal)
+
+    def add_disk(self, center, normal, radius: float, mat: int):
+        n = np.asarray(normal, np.float32)
+        n = n / np.linalg.norm(n)
+        self._disk.append([np.asarray(center, np.float32), n, float(radius), mat, -1])
+        return (KIND_DISK, len(self._disk) - 1)
+
+    # -- lights ------------------------------------------------------------
+    def _add_light(self, lm: LightMeta, c, pos=(0, 0, 0), direction=(0, 0, 1)) -> int:
+        self._lights.append(
+            (lm, np.asarray(c, np.float32), np.asarray(pos, np.float32),
+             np.asarray(direction, np.float32))
+        )
+        return len(self._lights) - 1
+
+    def add_point_light(self, pos, intensity) -> int:
+        return self._add_light(LightMeta(LIGHT_POINT), intensity, pos=pos)
+
+    def add_directional_light(self, direction, irradiance) -> int:
+        d = np.asarray(direction, np.float64)
+        d = d / np.linalg.norm(d)
+        return self._add_light(LightMeta(LIGHT_DIRECTIONAL), irradiance, direction=d)
+
+    def add_env_light(self, radiance) -> int:
+        return self._add_light(LightMeta(LIGHT_ENV), radiance)
+
+    def add_area_light(self, shape_ref, radiance) -> int:
+        """Attach an area light to an existing shape
+        (reference: src/scene.cc:66-77 CreateAreaLight)."""
+        kind, idx = shape_ref
+        light_id = self._add_light(
+            LightMeta(LIGHT_AREA, shape_kind=kind, shape_idx=idx), radiance
+        )
+        store = {KIND_TRI: self._tri, KIND_SPHERE: self._sph,
+                 KIND_RECT: self._rect, KIND_DISK: self._disk}[kind]
+        store[idx][-1] = light_id
+        return light_id
+
+    def add_area_light_mesh(self, shape_refs, radiance) -> list:
+        """One FAreaLight per shape (reference: src/scene.cc:79-89)."""
+        return [self.add_area_light(r, radiance) for r in shape_refs]
+
+    # -- build -------------------------------------------------------------
+    def build(self, use_bvh: bool | None = None, bvh_leaf_size: int = 4) -> Scene:
+        def stack(rows, i, shape, dtype=np.float32):
+            if rows:
+                return np.stack([np.asarray(r[i], dtype) for r in rows])
+            return np.zeros((0,) + shape, dtype)
+
+        tri_p0 = stack(self._tri, 0, (3,))
+        tri_p1 = stack(self._tri, 1, (3,))
+        tri_p2 = stack(self._tri, 2, (3,))
+        tri_n = stack(self._tri, 3, (3,))
+        tri_mat = np.array([r[4] for r in self._tri], np.int32)
+        tri_light = np.array([r[5] for r in self._tri], np.int32)
+
+        sph_c = stack(self._sph, 0, (3,))
+        sph_r = np.array([r[1] for r in self._sph], np.float32)
+        sph_mat = np.array([r[2] for r in self._sph], np.int32)
+        sph_light = np.array([r[3] for r in self._sph], np.int32)
+
+        rect_q = stack(self._rect, 0, (4, 3))
+        rect_n = stack(self._rect, 1, (3,))
+        rect_mat = np.array([r[2] for r in self._rect], np.int32)
+        rect_light = np.array([r[3] for r in self._rect], np.int32)
+
+        disk_c = stack(self._disk, 0, (3,))
+        disk_n = stack(self._disk, 1, (3,))
+        disk_r = np.array([r[2] for r in self._disk], np.float32)
+        disk_mat = np.array([r[3] for r in self._disk], np.int32)
+        disk_light = np.array([r[4] for r in self._disk], np.int32)
+
+        mat_kind = np.array([m[0] for m in self._mat], np.int32)
+        mat_c0 = stack(self._mat, 1, (3,))
+        mat_c1 = stack(self._mat, 2, (3,))
+        mat_s0 = np.array([m[3] for m in self._mat], np.float32)
+        mat_s1 = np.array([m[4] for m in self._mat], np.float32)
+        mat_remap = np.array([m[5] for m in self._mat], bool)
+
+        n_lights = len(self._lights)
+        light_c = stack(self._lights, 1, (3,))
+        light_pos = stack(self._lights, 2, (3,))
+        light_dir = stack(self._lights, 3, (3,))
+
+        # world bounding sphere (reference: src/scene.cc:35-45 + geometry.h:307-311)
+        pts = [tri_p0, tri_p1, tri_p2, rect_q.reshape(-1, 3), disk_c]
+        if len(sph_c):
+            pts += [sph_c - sph_r[:, None], sph_c + sph_r[:, None]]
+        allpts = np.concatenate([p for p in pts if len(p)] or [np.zeros((1, 3), np.float32)])
+        bmin, bmax = allpts.min(0), allpts.max(0)
+        center = 0.5 * (bmin + bmax)
+        radius = float(np.linalg.norm(bmax - center))
+
+        n_tri = len(self._tri)
+        if use_bvh is None:
+            use_bvh = n_tri > 64
+
+        if use_bvh and n_tri:
+            from ..ops.bvh import build_bvh
+            bvh, order = build_bvh(
+                tri_p0, tri_p1, tri_p2, leaf_size=bvh_leaf_size
+            )
+            tri_p0, tri_p1, tri_p2 = tri_p0[order], tri_p1[order], tri_p2[order]
+            tri_n, tri_mat, tri_light = tri_n[order], tri_mat[order], tri_light[order]
+            # remap area-light shape indices that point at triangles
+            inv = np.empty_like(order)
+            inv[order] = np.arange(len(order))
+            new_lights = []
+            for lm, c, p, d in self._lights:
+                if lm.kind == LIGHT_AREA and lm.shape_kind == KIND_TRI:
+                    lm = LightMeta(LIGHT_AREA, KIND_TRI, int(inv[lm.shape_idx]))
+                new_lights.append((lm, c, p, d))
+            self._lights = new_lights
+            bvh_bmin, bvh_bmax, bvh_miss, bvh_first, bvh_count = bvh
+        else:
+            use_bvh = False
+            bvh_bmin = np.zeros((0, 3), np.float32)
+            bvh_bmax = np.zeros((0, 3), np.float32)
+            bvh_miss = np.zeros((0,), np.int32)
+            bvh_first = np.zeros((0,), np.int32)
+            bvh_count = np.zeros((0,), np.int32)
+
+        meta = SceneMeta(
+            name=self.name,
+            n_tri=n_tri,
+            n_sph=len(self._sph),
+            n_rect=len(self._rect),
+            n_disk=len(self._disk),
+            n_mat=len(self._mat),
+            lights=tuple(l[0] for l in self._lights),
+            use_bvh=bool(use_bvh),
+        )
+        pack = ScenePack(
+            tri_p0=jnp.asarray(tri_p0), tri_p1=jnp.asarray(tri_p1),
+            tri_p2=jnp.asarray(tri_p2), tri_n=jnp.asarray(tri_n),
+            tri_mat=jnp.asarray(tri_mat), tri_light=jnp.asarray(tri_light),
+            sph_c=jnp.asarray(sph_c), sph_r=jnp.asarray(sph_r),
+            sph_mat=jnp.asarray(sph_mat), sph_light=jnp.asarray(sph_light),
+            rect_q=jnp.asarray(rect_q), rect_n=jnp.asarray(rect_n),
+            rect_mat=jnp.asarray(rect_mat), rect_light=jnp.asarray(rect_light),
+            disk_c=jnp.asarray(disk_c), disk_n=jnp.asarray(disk_n),
+            disk_r=jnp.asarray(disk_r), disk_mat=jnp.asarray(disk_mat),
+            disk_light=jnp.asarray(disk_light),
+            mat_kind=jnp.asarray(mat_kind), mat_c0=jnp.asarray(mat_c0),
+            mat_c1=jnp.asarray(mat_c1), mat_s0=jnp.asarray(mat_s0),
+            mat_s1=jnp.asarray(mat_s1), mat_remap=jnp.asarray(mat_remap),
+            light_c=jnp.asarray(light_c), light_pos=jnp.asarray(light_pos),
+            light_dir=jnp.asarray(light_dir),
+            world_center=jnp.asarray(center, jnp.float32),
+            world_radius=jnp.asarray(radius, jnp.float32),
+            bvh_bmin=jnp.asarray(bvh_bmin), bvh_bmax=jnp.asarray(bvh_bmax),
+            bvh_miss=jnp.asarray(bvh_miss),
+            bvh_leaf_first=jnp.asarray(bvh_first),
+            bvh_leaf_count=jnp.asarray(bvh_count),
+        )
+        assert self.camera is not None, "scene needs a camera"
+        return Scene(meta=meta, pack=pack, camera=self.camera)
