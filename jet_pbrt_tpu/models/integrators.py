@@ -46,11 +46,17 @@ from ..scene import pack as scene_pack
 _sg = jax.lax.stop_gradient
 
 
-def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False):
+def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
+            nee: bool = True):
     """Iterative path-traced radiance for a ray batch.
 
     o, d: [N,3] primary rays; u: [N, max_depth+1, S] path uniforms
     (see ops/rng.py). Returns L [N,3].
+
+    nee=False disables next-event estimation and credits emission at every
+    bounce — the plain BSDF-sampling estimator of the same integral. It is
+    used by tests as an independent cross-check of the NEE estimator
+    (both must converge to the same image).
     """
     n = o.shape[0]
     nl = meta.n_lights
@@ -68,7 +74,10 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False):
         hit = scene_pack.intersect(meta, pack, ray_o, ray_d, tmin, tmax)
 
         # -- emission (reference: src/integrator.cc:328-337) --------------
-        gate = active if bounce == 0 else (active & prev_specular)
+        if nee:
+            gate = active if bounce == 0 else (active & prev_specular)
+        else:
+            gate = active
         le_hit = scene_pack.emitted(pack, hit)
         le_env = light_ops.env_radiance(meta, pack, n)
         le = jnp.where(hit.valid[:, None], le_hit, le_env)
@@ -112,7 +121,7 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False):
         wo_local = to_local(frame, hit.wo)
 
         # -- NEE over all lights (reference: src/integrator.cc:357-372) ----
-        for li_idx in range(nl):
+        for li_idx in range(nl if nee else 0):
             ls = light_ops.sample_li(
                 meta, pack, li_idx, hit.position, rng.stream_nee(u_vertex, li_idx)
             )

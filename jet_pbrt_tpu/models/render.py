@@ -23,7 +23,7 @@ from .film import finalize
 
 
 def _wave_fn(meta, width: int, height: int, max_depth: int,
-             integrator: str, mis: bool):
+             integrator: str, mis: bool, nee: bool = True):
     """Build the jittable one-wave kernel for a fixed scene meta."""
 
     def wave(pack, cam, ids, key):
@@ -38,14 +38,16 @@ def _wave_fn(meta, width: int, height: int, max_depth: int,
         u = rng.path_uniforms(key, n, max_depth, meta.n_lights)
         if integrator == "whitted":
             return integrators.li_whitted(meta, pack, o, d, u, max_depth)
-        return integrators.li_path(meta, pack, o, d, u, max_depth, mis=mis)
+        return integrators.li_path(meta, pack, o, d, u, max_depth, mis=mis,
+                                   nee=nee)
 
     return jax.jit(wave)
 
 
 def render(scene, width: int, height: int, spp: int, seed: int = 0,
            max_depth: int = 5, integrator: str = "path", mis: bool = False,
-           chunk: int | None = None, clamp: bool = True) -> np.ndarray:
+           nee: bool = True, chunk: int | None = None,
+           clamp: bool = True) -> np.ndarray:
     """Full-frame render; returns a linear [H,W,3] numpy image (averaged over
     spp, optionally clamped like the reference's film write,
     reference: src/integrator.cc:108)."""
@@ -56,7 +58,7 @@ def render(scene, width: int, height: int, spp: int, seed: int = 0,
     n_pixels = width * height
     if chunk is None:
         chunk = min(n_pixels, 1 << 18)
-    wave = _wave_fn(scene.meta, width, height, max_depth, integrator, mis)
+    wave = _wave_fn(scene.meta, width, height, max_depth, integrator, mis, nee)
 
     accum = np.zeros((n_pixels, 3), np.float64)
     n_waves = 1 if integrator == "debug" else spp

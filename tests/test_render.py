@@ -1,0 +1,143 @@
+"""Render-level correctness: analytic direct lighting, NEE vs pure-BSDF
+estimator agreement, BVH == brute force, emission gating. These stand in for
+the reference's only oracles — its two golden images (SURVEY.md §4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jet_pbrt_tpu.scene.builder import SceneBuilder
+from jet_pbrt_tpu.scene.scenes import cornell_box
+from jet_pbrt_tpu.scene import pack as SP
+from jet_pbrt_tpu.models.render import render
+from jet_pbrt_tpu.ops.linalg import PI
+
+
+def test_furnace_env_only():
+    """Camera in empty space sees exactly the env radiance."""
+    b = SceneBuilder("furnace")
+    b.set_camera(lookfrom=(0, 0, 0), lookat=(0, 0, -1))
+    b.add_env_light((0.25, 0.5, 0.75))
+    # an off-screen shape so the scene isn't empty
+    m = b.add_matte((0.5, 0.5, 0.5))
+    b.add_sphere((0, 0, 100), 1.0, m)
+    s = b.build(use_bvh=False)
+    img = render(s, 16, 16, spp=4, clamp=False)
+    assert np.allclose(img, [0.25, 0.5, 0.75], atol=1e-5)
+
+
+def test_direct_lighting_analytic_point_light():
+    """Matte plane + point light: L = rho/pi * I * cos/d^2, exactly (NEE,
+    single bounce has zero variance for a delta light)."""
+    b = SceneBuilder("direct")
+    b.set_camera(lookfrom=(0, 1, 3), lookat=(0, 0, 0), vfov=40)
+    m = b.add_matte((0.6, 0.6, 0.6))
+    b.add_rect_xz(-50, 50, -50, 50, 0, m)
+    b.add_point_light((0, 2, 0), (10.0, 10.0, 10.0))
+    s = b.build(use_bvh=False)
+    img = render(s, 9, 9, spp=8, max_depth=1, clamp=False)
+    # center pixel looks at approximately the origin; light straight above at
+    # h=2: L = rho/pi * I * cos(0)/4
+    expected = 0.6 / PI * 10.0 / 4.0
+    center = img[4, 4]
+    # the exact footprint isn't the origin; allow a few % geometric slack
+    assert np.all(np.abs(center - expected) / expected < 0.05)
+
+
+def test_nee_vs_brute_estimator_cornell():
+    """NEE estimator and pure BSDF-sampling estimator must converge to the
+    same image (both unbiased for the same integral)."""
+    s = cornell_box(lambert_only=True, use_bvh=False)
+    kw = dict(max_depth=3, clamp=False)
+    a = render(s, 24, 24, spp=256, nee=True, seed=1, **kw)
+    bimg = render(s, 24, 24, spp=4096, nee=False, seed=2, **kw)
+    # compare means over the image (pure-BSDF is noisy per-pixel)
+    assert abs(a.mean() - bimg.mean()) / a.mean() < 0.05
+    # and per-pixel on a blurred/downsampled version
+    a4 = a.reshape(6, 4, 6, 4, 3).mean((1, 3))
+    b4 = bimg.reshape(6, 4, 6, 4, 3).mean((1, 3))
+    assert np.abs(a4 - b4).mean() / a4.mean() < 0.1
+
+
+def test_mis_unbiased_cornell():
+    """MIS estimator agrees with the plain NEE estimator in the mean."""
+    s = cornell_box(lambert_only=True, use_bvh=False)
+    kw = dict(max_depth=3, clamp=False)
+    a = render(s, 24, 24, spp=192, mis=False, seed=3, **kw)
+    m = render(s, 24, 24, spp=192, mis=True, seed=4, **kw)
+    assert abs(a.mean() - m.mean()) / a.mean() < 0.05
+
+
+def test_bvh_matches_bruteforce():
+    s_b = cornell_box(lambert_only=True, use_bvh=True)
+    s_n = cornell_box(lambert_only=True, use_bvh=False)
+    assert s_b.meta.use_bvh and not s_n.meta.use_bvh
+    n = 4096
+    key = jax.random.key(5)
+    o = jnp.asarray([278, 273, 700], jnp.float32) + 200.0 * (
+        jax.random.uniform(key, (n, 3)) - 0.5
+    )
+    d = jax.random.normal(jax.random.key(6), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    tmin = jnp.full((n,), 1e-3)
+    tmax = jnp.full((n,), jnp.inf)
+    h_b = SP.intersect(s_b.meta, s_b.pack, o, d, tmin, tmax)
+    h_n = SP.intersect(s_n.meta, s_n.pack, o, d, tmin, tmax)
+    assert np.array_equal(np.asarray(h_b.valid), np.asarray(h_n.valid))
+    ok = np.asarray(h_b.valid)
+    np.testing.assert_allclose(
+        np.asarray(h_b.t)[ok], np.asarray(h_n.t)[ok], rtol=1e-5, atol=1e-3
+    )
+    assert np.allclose(
+        np.asarray(h_b.normal)[ok], np.asarray(h_n.normal)[ok], atol=1e-5
+    )
+    assert np.array_equal(
+        np.asarray(h_b.mat_id)[ok], np.asarray(h_n.mat_id)[ok]
+    )
+
+
+def test_emission_one_sided_at_hit():
+    """Triangle emitters only emit on the side their normal faces
+    (reference: src/light.h:234-238)."""
+    b = SceneBuilder("onesided")
+    b.set_camera(lookfrom=(0, 0, 3), lookat=(0, 0, 0))
+    m = b.add_matte((0.5, 0.5, 0.5))
+    # triangle at origin facing +z (toward camera)
+    t = b.add_triangle((-1, -1, 0), (1, -1, 0), (0, 1, 0), m)
+    b.add_area_light(t, (2.0, 2.0, 2.0))
+    s = b.build(use_bvh=False)
+    front = render(s, 8, 8, spp=4, max_depth=0, clamp=False)
+    assert front.max() > 1.9  # clamped? no -> sees 2.0 emission
+
+    b2 = SceneBuilder("onesided2")
+    b2.set_camera(lookfrom=(0, 0, -3), lookat=(0, 0, 0))  # behind
+    m2 = b2.add_matte((0.5, 0.5, 0.5))
+    t2 = b2.add_triangle((-1, -1, 0), (1, -1, 0), (0, 1, 0), m2)
+    b2.add_area_light(t2, (2.0, 2.0, 2.0))
+    s2 = b2.build(use_bvh=False)
+    back = render(s2, 8, 8, spp=4, max_depth=0, clamp=False)
+    assert back.max() < 1e-6
+
+
+def test_specular_mirror_reflection_image():
+    """A mirror floor under an emissive quad shows the emitter in the
+    reflection (specular bounce keeps next-hit emission,
+    reference: src/integrator.cc:328-337, 381)."""
+    b = SceneBuilder("mirror")
+    b.set_camera(lookfrom=(0, 2, 6), lookat=(0, 0, 0), vfov=40)
+    mir = b.add_mirror((0.9, 0.9, 0.9))
+    mat = b.add_matte((0.5, 0.5, 0.5))
+    b.add_rect_xz(-5, 5, -5, 5, 0, mir)
+    r = b.add_rect_xz(-1, 1, -1, 1, 3, mat, flip_normal=True)
+    b.add_area_light(r, (4.0, 4.0, 4.0))
+    s = b.build(use_bvh=False)
+    img = render(s, 32, 32, spp=32, max_depth=2, clamp=False, seed=7)
+    # some pixels see the light's mirror image -> bright region via specular
+    assert img.max() > 2.0
+
+
+def test_render_deterministic():
+    s = cornell_box(lambert_only=True, use_bvh=False)
+    a = render(s, 12, 12, spp=4, seed=11, clamp=False)
+    b = render(s, 12, 12, spp=4, seed=11, clamp=False)
+    assert np.array_equal(a, b)
