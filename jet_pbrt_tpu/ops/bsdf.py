@@ -67,6 +67,28 @@ def is_delta(lobe: Lobe) -> jnp.ndarray:
     return (lobe.kind == LOBE_SPECULAR) | (lobe.kind == LOBE_FRESNEL)
 
 
+def _sanitize(lobe: Lobe) -> Lobe:
+    """Clamp per-kind parameters so every lobe branch is finite on every
+    lane. eval/pdf/sample compute ALL kinds and select by tag; without this,
+    masked-out branches produce inf (GGX with alpha=0 on a Lambert lane,
+    glass with eta=0 on a matte lane, ...) and `where` turns those infs into
+    NaN *gradients* (0 * inf) even though the primal is correct."""
+    is_mf = lobe.kind == LOBE_MICROFACET
+    is_fr = lobe.kind == LOBE_FRESNEL
+    is_ph = lobe.kind == LOBE_PHONG
+    alpha0 = jnp.where(is_mf, jnp.maximum(lobe.a0, 1e-4), 0.25)
+    alpha1 = jnp.where(is_mf, jnp.maximum(lobe.a1, 1e-4), 0.25)
+    eta_glass = jnp.where(is_fr, jnp.maximum(lobe.a0, 1.0001), 1.5)
+    a0 = jnp.where(is_fr, eta_glass, alpha0)
+    a0 = jnp.where(is_ph, jnp.maximum(lobe.a0, 1e-3), a0)
+    return lobe._replace(
+        a0=a0,
+        a1=alpha1,
+        fr_eta_i=jnp.maximum(lobe.fr_eta_i, 1e-3),
+        fr_eta_t=jnp.maximum(lobe.fr_eta_t, 1e-3),
+    )
+
+
 def _same_hemisphere(wo, wi):
     return wo[..., 2] * wi[..., 2] > 0.0
 
@@ -198,22 +220,29 @@ def _eval_phong(lobe: Lobe, wo, wi):
     """Energy-conserving modified Phong (reference: src/bsdf.h:569-580)."""
     ok = _same_hemisphere(wo, wi)
     wr = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
-    cos_alpha = jnp.maximum(dot(wr, wi), 0.0)
+    cos_alpha = dot(wr, wi)
+    pos = cos_alpha > 0.0
+    # grad-safe pow: 0**p has a NaN derivative wrt p
+    base = jnp.where(pos, cos_alpha, 0.5)
     rho = lobe.f0 * ((lobe.a0 + 2.0) * INV_2PI)[..., None]
-    f = rho * (cos_alpha ** jnp.maximum(lobe.a0, 1e-6))[..., None]
+    f = rho * jnp.where(pos, base ** jnp.maximum(lobe.a0, 1e-6), 0.0)[..., None]
     return jnp.where(ok[..., None], f, 0.0)
 
 
 def _pdf_phong(lobe: Lobe, wo, wi):
     """Cosine-lobe pdf about the mirror direction (reference: src/bsdf.h:624-628)."""
     wr = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
-    cos_t = jnp.maximum(dot(wr, wi), 0.0)
-    return (lobe.a0 + 1.0) * (cos_t ** jnp.maximum(lobe.a0, 1e-6)) * INV_2PI
+    cos_t = dot(wr, wi)
+    pos = cos_t > 0.0
+    base = jnp.where(pos, cos_t, 0.5)
+    p = (lobe.a0 + 1.0) * base ** jnp.maximum(lobe.a0, 1e-6) * INV_2PI
+    return jnp.where(pos, p, 0.0)
 
 
 def eval_f(lobe: Lobe, wo, wi) -> jnp.ndarray:
     """World-free local-frame f; delta lobes evaluate to 0
     (reference: src/bsdf.h:405-413, 470-478)."""
+    lobe = _sanitize(lobe)
     f_lam = _eval_lambert(lobe, wo, wi)
     f_mic = _eval_microfacet(lobe, wo, wi)
     f_pho = _eval_phong(lobe, wo, wi)
@@ -224,6 +253,7 @@ def eval_f(lobe: Lobe, wo, wi) -> jnp.ndarray:
 
 
 def pdf(lobe: Lobe, wo, wi) -> jnp.ndarray:
+    lobe = _sanitize(lobe)
     p_lam = _pdf_lambert(wo, wi)
     p_mic = _pdf_microfacet(lobe, wo, wi)
     p_pho = _pdf_phong(lobe, wo, wi)
@@ -319,10 +349,12 @@ def _sample_phong(lobe: Lobe, wo, u):
     """Cosine-lobe about the mirror direction (reference: src/bsdf.h:590-622)."""
     from .linalg import frame_from_z, to_world
 
+    from .linalg import safe_sqrt
+
     phi = 2.0 * PI * u[..., 0]
     exp = jnp.maximum(lobe.a0, 1e-6)
     cos_t = jnp.maximum(u[..., 1], 1e-12) ** (1.0 / (exp + 1.0))
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    sin_t = safe_sqrt(1.0 - cos_t * cos_t)
     local = jnp.stack(
         [jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t, cos_t], axis=-1
     )
@@ -338,6 +370,7 @@ def _sample_phong(lobe: Lobe, wo, u):
 
 def sample(lobe: Lobe, wo, u) -> BSDFSample:
     """Sample all lobe kinds, select by tag. u: [N,2]."""
+    lobe = _sanitize(lobe)
     wi_l, f_l, p_l = _sample_lambert(lobe, wo, u)
     wi_s, f_s, p_s = _sample_specular(lobe, wo)
     wi_f, f_f, p_f = _sample_fresnel(lobe, wo, u)

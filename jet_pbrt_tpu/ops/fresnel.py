@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .linalg import safe_sqrt
+
 
 def fresnel_dielectric(cos_theta_i: jnp.ndarray, eta_i, eta_t) -> jnp.ndarray:
     """Exact unpolarized dielectric Fresnel (reference: src/bsdf.h:91-122).
@@ -22,9 +24,9 @@ def fresnel_dielectric(cos_theta_i: jnp.ndarray, eta_i, eta_t) -> jnp.ndarray:
     etaI = jnp.where(entering, eta_i, eta_t)
     etaT = jnp.where(entering, eta_t, eta_i)
     ci = jnp.abs(ci)
-    sin_t = etaI / etaT * jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+    sin_t = etaI / etaT * safe_sqrt(1.0 - ci * ci)
     tir = sin_t >= 1.0
-    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    ct = safe_sqrt(1.0 - sin_t * sin_t)
     r_parl = (etaT * ci - etaI * ct) / jnp.maximum(etaT * ci + etaI * ct, 1e-20)
     r_perp = (etaI * ci - etaT * ct) / jnp.maximum(etaI * ci + etaT * ct, 1e-20)
     f = 0.5 * (r_parl * r_parl + r_perp * r_perp)

@@ -43,6 +43,16 @@ def length(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(length2(a))
 
 
+def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(max(x, 0)) with a finite gradient at x <= 0.
+
+    Plain sqrt has an infinite derivative at 0, which turns into NaN
+    gradients through `where` whenever a clamped branch (e.g. total internal
+    reflection) is differentiated. Double-where keeps the primal exact."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def normalize(a: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
     """Safe normalize; zero vectors stay (near) zero instead of NaN."""
     return a * jnp.reciprocal(jnp.maximum(length(a), eps))[..., None]
@@ -77,7 +87,7 @@ def refract(wi: jnp.ndarray, n: jnp.ndarray, eta: jnp.ndarray):
     sin2_i = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     sin2_t = eta * eta * sin2_i
     ok = sin2_t < 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    cos_t = safe_sqrt(1.0 - sin2_t)
     wt = eta[..., None] * (-wi) + (eta * cos_i - cos_t)[..., None] * n
     return wt, ok
 

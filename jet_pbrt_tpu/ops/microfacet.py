@@ -127,8 +127,10 @@ def _sample_ggx_vndf(wo_up, ax, ay, u):
     p1 = r * jnp.cos(phi)
     p2 = r * jnp.sin(phi)
     s = 0.5 * (1.0 + vh[..., 2])
-    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2
-    pz = jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))
+    from .linalg import safe_sqrt
+
+    p2 = (1.0 - s) * safe_sqrt(1.0 - p1 * p1) + s * p2
+    pz = safe_sqrt(1.0 - p1 * p1 - p2 * p2)
     nh = p1[..., None] * t1 + p2[..., None] * t2 + pz[..., None] * vh
     wh = normalize(
         jnp.stack(
