@@ -18,7 +18,9 @@ import jax
 import jax.numpy as jnp
 
 # ScenePack fields that are legitimate optimization targets.
-DIFFERENTIABLE_FIELDS = ("mat_c0", "mat_c1", "mat_s0", "mat_s1", "light_c")
+DIFFERENTIABLE_FIELDS = (
+    "mat_c0", "mat_c1", "mat_s0", "mat_s1", "light_c", "tex_image",
+)
 
 
 def get_params(pack, fields=DIFFERENTIABLE_FIELDS) -> dict:

@@ -47,7 +47,7 @@ _sg = jax.lax.stop_gradient
 
 
 def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
-            nee: bool = True):
+            nee: bool = True, with_stats: bool = False):
     """Iterative path-traced radiance for a ray batch.
 
     o, d: [N,3] primary rays; u: [N, max_depth+1, S] path uniforms
@@ -69,9 +69,14 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
     ray_o, ray_d = o, d
     tmin = jnp.full((n,), RAY_EPS, jnp.float32)
     tmax = jnp.full((n,), jnp.inf, jnp.float32)
+    # ray-cast accounting for the benchmark: closest-hit casts on live lanes
+    # plus shadow casts the estimator needs (an equivalent scalar/CUDA tracer
+    # would trace exactly these)
+    n_rays = jnp.zeros((), jnp.float32)
 
     for bounce in range(max_depth + 1):
         hit = scene_pack.intersect(meta, pack, ray_o, ray_d, tmin, tmax)
+        n_rays = n_rays + jnp.sum(active.astype(jnp.float32))
 
         # -- emission (reference: src/integrator.cc:328-337) --------------
         if nee:
@@ -113,6 +118,7 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
         mat_kind, c0, c1, s0, s1, remap = scene_pack.gather_material(
             pack, hit.mat_id
         )
+        c0 = scene_pack.effective_kd(meta, pack, hit, c0)
         lobe = bsdf_ops.make_lobe(
             mat_kind, c0, c1, s0, s1, remap, rng.stream_lobe(u_vertex)
         )
@@ -137,6 +143,7 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
             # trace shadow rays only where useful is possible; the masked
             # lanes still traverse (SIMT), but correctness needs the mask.
             occ = scene_pack.occluded(meta, pack, hit.position, _sg(ls.pos))
+            n_rays = n_rays + jnp.sum(useful.astype(jnp.float32))
             if mis and not scene_pack.light_is_delta(meta, li_idx):
                 pb = bsdf_ops.pdf(lobe, wo_local, wi_local)
                 w_l = power_heuristic(1.0, _sg(ls.pdf), 1.0, _sg(pb))
@@ -180,7 +187,10 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
         ray_d = jnp.where(active[:, None], wi_world, ray_d)
 
     # invalid-sample guard (reference: src/integrator.cc:104 checks validity)
-    return jnp.where(jnp.isfinite(L), L, 0.0)
+    L = jnp.where(jnp.isfinite(L), L, 0.0)
+    if with_stats:
+        return L, {"rays": n_rays}
+    return L
 
 
 def li_debug_normal(meta, pack, o, d):
@@ -226,6 +236,7 @@ def li_whitted(meta, pack, o, d, u, max_depth: int):
         mat_kind, c0, c1, s0, s1, remap = scene_pack.gather_material(
             pack, hit.mat_id
         )
+        c0 = scene_pack.effective_kd(meta, pack, hit, c0)
         lobe = bsdf_ops.make_lobe(
             mat_kind, c0, c1, s0, s1, remap, rng.stream_lobe(u_vertex)
         )

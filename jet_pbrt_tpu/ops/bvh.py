@@ -33,8 +33,29 @@ LEAF_SIZE = 4
 
 
 def build_bvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
-              leaf_size: int = LEAF_SIZE):
-    """Median-split BVH over triangles.
+              leaf_size: int = LEAF_SIZE, method: str = "auto"):
+    """Build a BVH over triangles and flatten it.
+
+    method: "auto" prefers the native binned-SAH builder
+    (native/bvh_build.cc via ctypes) and falls back to this module's numpy
+    median-split builder; "sah" requires native; "median" forces numpy.
+    Both emit the identical flattened skip-link layout.
+    """
+    if method in ("auto", "sah"):
+        from ..utils.native import try_build_bvh_native
+
+        out = try_build_bvh_native(p0, p1, p2, leaf_size, use_sah=True)
+        if out is not None:
+            return out
+        if method == "sah":
+            raise RuntimeError("native BVH builder unavailable; run "
+                               "`make -C native`")
+    return _build_bvh_median(p0, p1, p2, leaf_size)
+
+
+def _build_bvh_median(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
+                      leaf_size: int = LEAF_SIZE):
+    """Median-split BVH over triangles (numpy reference builder).
 
     Returns ((bmin[B,3], bmax[B,3], miss[B], leaf_first[B], leaf_count[B]),
     order[T']) where `order` is the triangle permutation+padding that makes

@@ -47,12 +47,13 @@ class SceneBuilder:
     def __init__(self, name: str):
         self.name = name
         self.camera: CameraConfig | None = None
-        self._tri = []      # rows: (p0, p1, p2, n, mat, light)
+        self._tri = []      # rows: (p0, p1, p2, n, mat, light, uv[3,2])
         self._sph = []      # rows: (c, r, mat, light)
         self._rect = []     # rows: (q[4,3], n, mat, light)
         self._disk = []     # rows: (c, n, r, mat, light)
-        self._mat = []      # rows: (kind, c0, c1, s0, s1, remap)
+        self._mat = []      # rows: (kind, c0, c1, s0, s1, remap, tex)
         self._lights = []   # rows: (LightMeta, c, pos, dir)
+        self._tex = []      # rows: (kind, c0, c1, scale, image or None)
 
     # -- camera (reference: src/scene.h:67-73) ----------------------------
     def set_camera(self, lookfrom, lookat=None, front=None, vup=(0, 1, 0),
@@ -64,15 +65,52 @@ class SceneBuilder:
             vup=tuple(vup), vfov=float(vfov),
         )
 
+    # -- textures (wired in, unlike the reference's dead src/texture.h) ----
+    def add_solid_texture(self, color) -> int:
+        from ..ops import texture as T
+        self._tex.append((T.TEX_SOLID, np.asarray(color, np.float32),
+                          np.zeros(3, np.float32), 1.0, None))
+        return len(self._tex) - 1
+
+    def add_checker_texture(self, c0, c1, scale: float = 10.0) -> int:
+        """3D sine checker (reference: src/texture.cc:26-35; default scale
+        10 matches its hard-coded frequency)."""
+        from ..ops import texture as T
+        self._tex.append((T.TEX_CHECKER, np.asarray(c0, np.float32),
+                          np.asarray(c1, np.float32), float(scale), None))
+        return len(self._tex) - 1
+
+    def add_image_texture(self, image, bilinear: bool = False) -> int:
+        """image: [H,W,3] float in [0,1] or uint8 (scaled by 1/255 like the
+        reference, src/texture.cc:70), or a file path (PNG/JPG via PIL,
+        PPM via the built-in reader)."""
+        from ..ops import texture as T
+        if isinstance(image, str):
+            if image.lower().endswith(".ppm"):
+                from ..utils.image import read_ppm
+                image = read_ppm(image)
+            else:
+                from PIL import Image
+                image = np.asarray(Image.open(image).convert("RGB"))
+        image = np.asarray(image)
+        if image.dtype == np.uint8:
+            image = image.astype(np.float32) / 255.0
+        kind = T.TEX_IMAGE_BILINEAR if bilinear else T.TEX_IMAGE
+        self._tex.append((kind, np.zeros(3, np.float32),
+                          np.zeros(3, np.float32), 1.0,
+                          image.astype(np.float32)))
+        return len(self._tex) - 1
+
     # -- materials (reference: src/material.h 5 concrete kinds) -----------
-    def _add_mat(self, kind, c0, c1=(0, 0, 0), s0=0.0, s1=0.0, remap=False) -> int:
+    def _add_mat(self, kind, c0, c1=(0, 0, 0), s0=0.0, s1=0.0, remap=False,
+                 tex: int = -1) -> int:
         self._mat.append((kind, np.asarray(c0, np.float32),
                           np.asarray(c1, np.float32), float(s0), float(s1),
-                          bool(remap)))
+                          bool(remap), int(tex)))
         return len(self._mat) - 1
 
-    def add_matte(self, color) -> int:
-        return self._add_mat(bsdf_ops.MAT_MATTE, color)
+    def add_matte(self, color, tex: int = -1) -> int:
+        return self._add_mat(bsdf_ops.MAT_MATTE, color, tex=tex)
 
     def add_mirror(self, color) -> int:
         return self._add_mat(bsdf_ops.MAT_MIRROR, color)
@@ -80,35 +118,45 @@ class SceneBuilder:
     def add_glass(self, eta: float, kr=(1, 1, 1), kt=(1, 1, 1)) -> int:
         return self._add_mat(bsdf_ops.MAT_GLASS, kr, kt, eta)
 
-    def add_plastic(self, kd, ks, roughness: float, remap: bool = False) -> int:
-        return self._add_mat(bsdf_ops.MAT_PLASTIC, kd, ks, roughness, roughness, remap)
+    def add_plastic(self, kd, ks, roughness: float, remap: bool = False,
+                    tex: int = -1) -> int:
+        return self._add_mat(bsdf_ops.MAT_PLASTIC, kd, ks, roughness,
+                             roughness, remap, tex=tex)
 
     def add_metal(self, eta, k, urough: float, vrough: float,
                   remap: bool = False) -> int:
         return self._add_mat(bsdf_ops.MAT_METAL, eta, k, urough, vrough, remap)
 
     # -- shapes ------------------------------------------------------------
-    def add_triangle(self, p0, p1, p2, mat: int, flip_normal=False):
+    def add_triangle(self, p0, p1, p2, mat: int, flip_normal=False, uv=None):
         p0, p1, p2 = (np.asarray(p, np.float32) for p in (p0, p1, p2))
         n = np.cross(p1 - p0, p2 - p0)
         norm = np.linalg.norm(n)
         n = n / norm if norm > 0 else np.array([0, 0, 1], np.float32)
         if flip_normal:
             n = -n
-        self._tri.append([p0, p1, p2, n.astype(np.float32), mat, -1])
+        if uv is None:
+            uv = np.zeros((3, 2), np.float32)
+        self._tri.append([p0, p1, p2, n.astype(np.float32), mat, -1,
+                          np.asarray(uv, np.float32)])
         return (KIND_TRI, len(self._tri) - 1)
 
     def add_mesh(self, tris, mat: int, flip_normal=False,
-                 flip_handedness=False, offset=(0, 0, 0), scale=1.0):
-        """tris: [T,3,3] vertex soup. Transform order matches the loader:
-        z-flip, then scale, then offset (reference: src/shape.cc:48-61)."""
+                 flip_handedness=False, offset=(0, 0, 0), scale=1.0,
+                 uvs=None):
+        """tris: [T,3,3] vertex soup (+ optional uvs [T,3,2]). Transform
+        order matches the loader: z-flip, then scale, then offset
+        (reference: src/shape.cc:48-61)."""
         tris = np.asarray(tris, np.float32).copy()
         if flip_handedness:
             tris[..., 2] *= -1.0
         tris = tris * np.float32(scale) + np.asarray(offset, np.float32)
         refs = []
-        for t in tris:
-            refs.append(self.add_triangle(t[0], t[1], t[2], mat, flip_normal))
+        for i, t in enumerate(tris):
+            refs.append(self.add_triangle(
+                t[0], t[1], t[2], mat, flip_normal,
+                uv=None if uvs is None else uvs[i],
+            ))
         return refs
 
     def add_sphere(self, center, radius: float, mat: int):
@@ -193,6 +241,7 @@ class SceneBuilder:
         tri_n = stack(self._tri, 3, (3,))
         tri_mat = np.array([r[4] for r in self._tri], np.int32)
         tri_light = np.array([r[5] for r in self._tri], np.int32)
+        tri_uv = stack(self._tri, 6, (3, 2))
 
         sph_c = stack(self._sph, 0, (3,))
         sph_r = np.array([r[1] for r in self._sph], np.float32)
@@ -216,6 +265,23 @@ class SceneBuilder:
         mat_s0 = np.array([m[3] for m in self._mat], np.float32)
         mat_s1 = np.array([m[4] for m in self._mat], np.float32)
         mat_remap = np.array([m[5] for m in self._mat], bool)
+        mat_tex = np.array([m[6] for m in self._mat], np.int32)
+
+        # texture table: images padded to the max resolution
+        n_tex = len(self._tex)
+        tex_kind = np.array([t[0] for t in self._tex], np.int32)
+        tex_c0 = stack(self._tex, 1, (3,))
+        tex_c1 = stack(self._tex, 2, (3,))
+        tex_scale = np.array([t[3] for t in self._tex], np.float32)
+        images = [t[4] for t in self._tex]
+        th = max([im.shape[0] for im in images if im is not None] or [1])
+        tw = max([im.shape[1] for im in images if im is not None] or [1])
+        tex_image = np.zeros((n_tex, th, tw, 3), np.float32)
+        tex_wh = np.ones((n_tex, 2), np.int32)
+        for i, im in enumerate(images):
+            if im is not None:
+                tex_image[i, : im.shape[0], : im.shape[1]] = im
+                tex_wh[i] = (im.shape[1], im.shape[0])
 
         n_lights = len(self._lights)
         light_c = stack(self._lights, 1, (3,))
@@ -242,6 +308,7 @@ class SceneBuilder:
             )
             tri_p0, tri_p1, tri_p2 = tri_p0[order], tri_p1[order], tri_p2[order]
             tri_n, tri_mat, tri_light = tri_n[order], tri_mat[order], tri_light[order]
+            tri_uv = tri_uv[order]
             # remap area-light shape indices that point at triangles
             inv = np.empty_like(order)
             inv[order] = np.arange(len(order))
@@ -269,10 +336,12 @@ class SceneBuilder:
             n_mat=len(self._mat),
             lights=tuple(l[0] for l in self._lights),
             use_bvh=bool(use_bvh),
+            n_tex=n_tex,
         )
         pack = ScenePack(
             tri_p0=jnp.asarray(tri_p0), tri_p1=jnp.asarray(tri_p1),
             tri_p2=jnp.asarray(tri_p2), tri_n=jnp.asarray(tri_n),
+            tri_uv=jnp.asarray(tri_uv),
             tri_mat=jnp.asarray(tri_mat), tri_light=jnp.asarray(tri_light),
             sph_c=jnp.asarray(sph_c), sph_r=jnp.asarray(sph_r),
             sph_mat=jnp.asarray(sph_mat), sph_light=jnp.asarray(sph_light),
@@ -284,6 +353,10 @@ class SceneBuilder:
             mat_kind=jnp.asarray(mat_kind), mat_c0=jnp.asarray(mat_c0),
             mat_c1=jnp.asarray(mat_c1), mat_s0=jnp.asarray(mat_s0),
             mat_s1=jnp.asarray(mat_s1), mat_remap=jnp.asarray(mat_remap),
+            mat_tex=jnp.asarray(mat_tex),
+            tex_kind=jnp.asarray(tex_kind), tex_c0=jnp.asarray(tex_c0),
+            tex_c1=jnp.asarray(tex_c1), tex_scale=jnp.asarray(tex_scale),
+            tex_image=jnp.asarray(tex_image), tex_wh=jnp.asarray(tex_wh),
             light_c=jnp.asarray(light_c), light_pos=jnp.asarray(light_pos),
             light_dir=jnp.asarray(light_dir),
             world_center=jnp.asarray(center, jnp.float32),

@@ -55,6 +55,7 @@ class SceneMeta:
     n_mat: int
     lights: tuple  # tuple[LightMeta, ...]
     use_bvh: bool = False
+    n_tex: int = 0
 
     @property
     def n_lights(self) -> int:
@@ -73,6 +74,7 @@ class ScenePack(NamedTuple):
     tri_p1: jnp.ndarray
     tri_p2: jnp.ndarray
     tri_n: jnp.ndarray      # [T,3] fixed face normal (reference: src/shape.h:284-286)
+    tri_uv: jnp.ndarray     # [T,3,2] per-vertex texcoords (from OBJ)
     tri_mat: jnp.ndarray    # [T] int32
     tri_light: jnp.ndarray  # [T] int32, -1 = not emissive
     # spheres
@@ -98,6 +100,14 @@ class ScenePack(NamedTuple):
     mat_s0: jnp.ndarray     # [M]
     mat_s1: jnp.ndarray     # [M]
     mat_remap: jnp.ndarray  # [M] bool
+    mat_tex: jnp.ndarray    # [M] int32 texture id for Kd, -1 = none
+    # texture table (ops/texture.py kinds)
+    tex_kind: jnp.ndarray   # [K] int32
+    tex_c0: jnp.ndarray     # [K,3]
+    tex_c1: jnp.ndarray     # [K,3]
+    tex_scale: jnp.ndarray  # [K]
+    tex_image: jnp.ndarray  # [K,TH,TW,3] padded image data
+    tex_wh: jnp.ndarray     # [K,2] int32 actual (w,h)
     # light parameter table (kinds are static, in SceneMeta.lights)
     light_c: jnp.ndarray    # [L,3] radiance / intensity / irradiance
     light_pos: jnp.ndarray  # [L,3]
@@ -120,6 +130,7 @@ class Hit(NamedTuple):
     position: jnp.ndarray  # [N,3]
     normal: jnp.ndarray    # [N,3] geometric normal per reference semantics
     wo: jnp.ndarray        # [N,3] world-space -ray.dir
+    uv: jnp.ndarray        # [N,2] surface parameterization at the hit
     mat_id: jnp.ndarray    # [N] int32 (0 when invalid — callers mask)
     light_id: jnp.ndarray  # [N] int32, -1 = not an emitter
 
@@ -162,15 +173,18 @@ def _kind_hits(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax):
     return hits, kinds
 
 
-def intersect(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax) -> Hit:
-    """Closest-hit over the whole scene (reference: src/scene.cc:25-33)."""
+def intersect(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax,
+              with_uv: bool = True) -> Hit:
+    """Closest-hit over the whole scene (reference: src/scene.cc:25-33).
+
+    UVs are only computed when the scene has textures (static check)."""
     n = o.shape[0]
     hits, kinds = _kind_hits(meta, pack, o, d, tmin, tmax)
     if not hits:
         z3 = jnp.zeros((n, 3), jnp.float32)
         return Hit(
             valid=jnp.zeros((n,), bool), t=jnp.full((n,), jnp.inf),
-            position=z3, normal=z3, wo=-d,
+            position=z3, normal=z3, wo=-d, uv=jnp.zeros((n, 2), jnp.float32),
             mat_id=jnp.zeros((n,), jnp.int32),
             light_id=jnp.full((n,), -1, jnp.int32),
         )
@@ -180,28 +194,67 @@ def intersect(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax) -> Hit:
     p = o + t_safe[:, None] * d
 
     normal = jnp.zeros((n, 3), jnp.float32)
+    uv = jnp.zeros((n, 2), jnp.float32)
     mat_id = jnp.zeros((n,), jnp.int32)
     light_id = jnp.full((n,), -1, jnp.int32)
+    want_uv = with_uv and meta.n_tex > 0
     for k in kinds:
         sel = kind == k
         sel3 = sel[:, None]
         if k == KIND_TRI:
             nk = pack.tri_n[index]
             mk, lk = pack.tri_mat[index], pack.tri_light[index]
+            if want_uv:
+                uvk = _tri_uv(pack, index, p)
         elif k == KIND_SPHERE:
             # outward normal (reference: src/shape.h:520)
             nk = normalize(p - pack.sph_c[index])
             mk, lk = pack.sph_mat[index], pack.sph_light[index]
+            if want_uv:
+                # lat-long on the unit normal (reference: src/shape.h:528-538,
+                # corrected to use the normalized offset, not the world point)
+                phi = jnp.arctan2(nk[:, 2], nk[:, 0])
+                theta = jnp.arcsin(jnp.clip(nk[:, 1], -1.0, 1.0))
+                uvk = jnp.stack(
+                    [1.0 - (phi + jnp.pi) / (2.0 * jnp.pi),
+                     (theta + jnp.pi / 2.0) / jnp.pi], axis=-1,
+                )
         elif k == KIND_RECT:
             # rect normals face the ray (reference: src/shape.h:427)
             nk = isect_ops.rect_hit_normal(pack.rect_n[index], d)
             mk, lk = pack.rect_mat[index], pack.rect_light[index]
+            if want_uv:
+                # edge projection (reference: src/shape.h:437-447)
+                q = pack.rect_q[index]
+                v01 = q[:, 1] - q[:, 0]
+                v03 = q[:, 3] - q[:, 0]
+                v0p = p - q[:, 0]
+                uvk = jnp.stack(
+                    [dot(v01, v0p) / jnp.maximum(dot(v01, v01), 1e-12),
+                     dot(v03, v0p) / jnp.maximum(dot(v03, v03), 1e-12)],
+                    axis=-1,
+                )
         else:
             nk = pack.disk_n[index]
             mk, lk = pack.disk_mat[index], pack.disk_light[index]
+            if want_uv:
+                # polar (reference: src/shape.h:223-236)
+                from ..ops.linalg import frame_from_z, to_local
+
+                c = pack.disk_c[index]
+                local = to_local(frame_from_z(nk), p - c)
+                phi = jnp.arctan2(local[:, 1], local[:, 0])
+                phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+                r = jnp.sqrt(jnp.maximum(dot(p - c, p - c), 0.0))
+                uvk = jnp.stack(
+                    [phi / (2 * jnp.pi),
+                     r / jnp.maximum(pack.disk_r[index], 1e-12)], axis=-1,
+                )
         normal = jnp.where(sel3, nk, normal)
         mat_id = jnp.where(sel, mk, mat_id)
         light_id = jnp.where(sel, lk, light_id)
+        if want_uv:
+            uv = jnp.where(sel[:, None], uvk, uv)
 
     return Hit(
         valid=valid,
@@ -209,8 +262,36 @@ def intersect(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax) -> Hit:
         position=p,
         normal=normal,
         wo=-d,
+        uv=uv,
         mat_id=jnp.where(valid, mat_id, 0),
         light_id=jnp.where(valid, light_id, -1),
+    )
+
+
+def _tri_uv(pack: ScenePack, index, p):
+    """Barycentric-interpolated vertex UVs for the winning triangle.
+
+    The reference's triangle GetUV uses incorrect dot-product barycentrics
+    and is unused in the render path (SURVEY.md §2 #15); this is the proper
+    interpolation of the UVs the OBJ loader provides (src/shape.cc:44-46)."""
+    a = pack.tri_p0[index]
+    b = pack.tri_p1[index]
+    c = pack.tri_p2[index]
+    v0 = b - a
+    v1 = c - a
+    v2 = p - a
+    d00 = dot(v0, v0)
+    d01 = dot(v0, v1)
+    d11 = dot(v1, v1)
+    d20 = dot(v2, v0)
+    d21 = dot(v2, v1)
+    denom = jnp.maximum(d00 * d11 - d01 * d01, 1e-18)
+    wb = (d11 * d20 - d01 * d21) / denom
+    wc = (d00 * d21 - d01 * d20) / denom
+    wa = 1.0 - wb - wc
+    uvs = pack.tri_uv[index]  # [N,3,2]
+    return (
+        uvs[:, 0] * wa[:, None] + uvs[:, 1] * wb[:, None] + uvs[:, 2] * wc[:, None]
     )
 
 
@@ -243,6 +324,21 @@ def emitted(pack: ScenePack, hit: Hit) -> jnp.ndarray:
     return jnp.where(
         (is_emitter & facing & hit.valid)[:, None], radiance, 0.0
     )
+
+
+def effective_kd(meta: SceneMeta, pack: ScenePack, hit: Hit, c0):
+    """Replace a material's Kd/base color with its texture tap when the
+    material carries a texture id (the capability the reference's dead
+    texture subsystem never delivers, SURVEY.md §2 #36). Texels stay on the
+    autodiff tape."""
+    if meta.n_tex == 0:
+        return c0
+    from ..ops import texture as tex_ops
+
+    tex_id = pack.mat_tex[hit.mat_id]
+    has = tex_id >= 0
+    rgb = tex_ops.sample(pack, jnp.maximum(tex_id, 0), hit.uv, hit.position)
+    return jnp.where(has[:, None], rgb, c0)
 
 
 def light_is_delta(meta: SceneMeta, light_index: int) -> bool:

@@ -113,7 +113,7 @@ def bunny_scene(use_bvh: bool | None = None, bunny_path: str | None = None) -> S
         from .assets import generate_bunny_obj
         os.makedirs(os.path.dirname(bunny_path), exist_ok=True)
         generate_bunny_obj(bunny_path)
-    bunny_tris, _ = objio.load_obj(bunny_path)
+    bunny_tris, bunny_uvs = objio.load_obj(bunny_path)
 
     b = SceneBuilder("bunny_scene")
     b.set_camera(lookfrom=(-300, 300, -300), lookat=(0, 0, 0), vup=(0, 1, 0),
@@ -147,7 +147,7 @@ def bunny_scene(use_bvh: bool | None = None, bunny_path: str | None = None) -> S
         ((-100, 0, 0), glass),
     ]:
         b.add_mesh(bunny_tris, mat, flip_normal=True, flip_handedness=True,
-                   offset=offset, scale=500.0)
+                   offset=offset, scale=500.0, uvs=bunny_uvs)
 
     return b.build(use_bvh=use_bvh)
 
