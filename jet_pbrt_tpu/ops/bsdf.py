@@ -33,6 +33,12 @@ MAT_MIRROR = 1   # -> specular reflection (reference: src/material.h:45-59)
 MAT_GLASS = 2    # -> Fresnel specular (reference: src/material.h:63-81)
 MAT_PLASTIC = 3  # -> stochastic Lambert/GGX (reference: src/material.h:85-110)
 MAT_METAL = 4    # -> GGX + conductor Fresnel (reference: src/material.h:113-137)
+# Rough glass: stochastic 50/50 mix of the reference's FMicrofacetReflection
+# and FMicrofacetTransmission components — the reference implements the
+# transmission BSDF but never instantiates it from any material
+# (reference: src/bsdf.cc:80-145; SURVEY.md §2 #27). c0=Kr, c1=Kt,
+# s0=roughness, s1=eta.
+MAT_ROUGHGLASS = 5
 
 # Lobe kinds (resolved, concrete scattering models).
 LOBE_LAMBERT = 0
@@ -40,6 +46,7 @@ LOBE_SPECULAR = 1
 LOBE_FRESNEL = 2
 LOBE_MICROFACET = 3
 LOBE_PHONG = 4
+LOBE_MICROFACET_TRANS = 5
 
 
 class Lobe(NamedTuple):
@@ -73,7 +80,7 @@ def _sanitize(lobe: Lobe) -> Lobe:
     masked-out branches produce inf (GGX with alpha=0 on a Lambert lane,
     glass with eta=0 on a matte lane, ...) and `where` turns those infs into
     NaN *gradients* (0 * inf) even though the primal is correct."""
-    is_mf = lobe.kind == LOBE_MICROFACET
+    is_mf = (lobe.kind == LOBE_MICROFACET) | (lobe.kind == LOBE_MICROFACET_TRANS)
     is_fr = lobe.kind == LOBE_FRESNEL
     is_ph = lobe.kind == LOBE_PHONG
     alpha0 = jnp.where(is_mf, jnp.maximum(lobe.a0, 1e-4), 0.25)
@@ -114,6 +121,7 @@ def make_lobe(mat_kind, c0, c1, s0, s1, remap, u_lobe) -> Lobe:
     remapped_s0 = jnp.where(remap, mf.roughness_to_alpha(s0), s0)
     remapped_s1 = jnp.where(remap, mf.roughness_to_alpha(s1), s1)
 
+    rough_reflect = u_lobe < 0.5
     kind = jnp.select(
         [
             mat_kind == MAT_MATTE,
@@ -122,9 +130,12 @@ def make_lobe(mat_kind, c0, c1, s0, s1, remap, u_lobe) -> Lobe:
             (mat_kind == MAT_PLASTIC) & plastic_diffuse,
             (mat_kind == MAT_PLASTIC) & ~plastic_diffuse,
             mat_kind == MAT_METAL,
+            (mat_kind == MAT_ROUGHGLASS) & rough_reflect,
+            (mat_kind == MAT_ROUGHGLASS) & ~rough_reflect,
         ],
         [LOBE_LAMBERT, LOBE_SPECULAR, LOBE_FRESNEL, LOBE_LAMBERT,
-         LOBE_MICROFACET, LOBE_MICROFACET],
+         LOBE_MICROFACET, LOBE_MICROFACET, LOBE_MICROFACET,
+         LOBE_MICROFACET_TRANS],
         LOBE_LAMBERT,
     ).astype(jnp.int32)
 
@@ -142,6 +153,10 @@ def make_lobe(mat_kind, c0, c1, s0, s1, remap, u_lobe) -> Lobe:
         f0,
     )
     f0 = jnp.where((mat_kind == MAT_METAL)[..., None], jnp.ones_like(c0), f0)
+    # rough glass: 2x compensation for the 50/50 lobe pick
+    is_rg = mat_kind == MAT_ROUGHGLASS
+    f0 = jnp.where((is_rg & rough_reflect)[..., None], 2.0 * c0, f0)
+    f0 = jnp.where((is_rg & ~rough_reflect)[..., None], 2.0 * c1, f0)
 
     f1 = jnp.where((mat_kind == MAT_GLASS)[..., None], c1, zero3)   # Kt
     f1 = jnp.where((mat_kind == MAT_METAL)[..., None], c0, f1)      # conductor eta
@@ -150,8 +165,10 @@ def make_lobe(mat_kind, c0, c1, s0, s1, remap, u_lobe) -> Lobe:
     a0 = jnp.where(mat_kind == MAT_GLASS, s0, 0.0)                  # eta_t
     a0 = jnp.where(mat_kind == MAT_PLASTIC, remapped_s0, a0)        # alpha
     a0 = jnp.where(mat_kind == MAT_METAL, remapped_s0, a0)
+    a0 = jnp.where(is_rg, remapped_s0, a0)
     a1 = jnp.where(mat_kind == MAT_PLASTIC, remapped_s0, 0.0)
     a1 = jnp.where(mat_kind == MAT_METAL, remapped_s1, a1)
+    a1 = jnp.where(is_rg, remapped_s0, a1)
 
     return Lobe(
         kind=kind,
@@ -160,7 +177,8 @@ def make_lobe(mat_kind, c0, c1, s0, s1, remap, u_lobe) -> Lobe:
         fr_conductor=(mat_kind == MAT_METAL),
         # plastic uses FresnelDielectric(1.5, 1.0) (reference: src/material.cc:21)
         fr_eta_i=jnp.where(mat_kind == MAT_PLASTIC, 1.5, one),
-        fr_eta_t=one,
+        # rough glass: dielectric interface (1, eta=s1)
+        fr_eta_t=jnp.where(is_rg, jnp.maximum(s1, 1.0001), one),
         mf_kind=jnp.full((n,), mf.GGX, jnp.int32),
     )
 
@@ -216,6 +234,79 @@ def _pdf_microfacet(lobe: Lobe, wo, wi):
     return jnp.where(ok & (dot(wo, wh) > 0.0), p, 0.0)
 
 
+def _trans_eta(lobe: Lobe, wo):
+    """eta = etaB/etaA when exiting along the normal side, else etaA/etaB
+    (reference: src/bsdf.cc:94)."""
+    eta_a = lobe.fr_eta_i
+    eta_b = lobe.fr_eta_t
+    return jnp.where(wo[..., 2] > 0.0, eta_b / eta_a, eta_a / eta_b)
+
+
+def _eval_microfacet_trans(lobe: Lobe, wo, wi):
+    """Walter-style transmissive microfacet (reference: src/bsdf.cc:85-110)."""
+    cos_o = wo[..., 2]
+    cos_i = wi[..., 2]
+    eta = _trans_eta(lobe, wo)
+    wh = normalize(wo + wi * eta[..., None])
+    wh = jnp.where((wh[..., 2] < 0.0)[..., None], -wh, wh)
+    dot_o = dot(wo, wh)
+    dot_i = dot(wi, wh)
+    invalid = (
+        _same_hemisphere(wo, wi)
+        | (jnp.abs(cos_o) < 1e-9) | (jnp.abs(cos_i) < 1e-9)
+        | (dot_o * dot_i > 0.0)
+    )
+    fr = fresnel_dielectric(dot_o, lobe.fr_eta_i, lobe.fr_eta_t)
+    sqrt_denom = dot_o + eta * dot_i
+    d_term = mf.d(lobe.mf_kind, wh, lobe.a0, lobe.a1)
+    g_term = mf.g(lobe.mf_kind, wo, wi, lobe.a0, lobe.a1)
+    factor = 1.0 / jnp.maximum(eta, 1e-6)
+    mag = jnp.abs(
+        d_term * g_term * eta * eta * jnp.abs(dot_i) * jnp.abs(dot_o)
+        * factor * factor
+        / jnp.maximum(jnp.abs(cos_i * cos_o) * sqrt_denom * sqrt_denom, 1e-12)
+    )
+    f = lobe.f0 * ((1.0 - fr) * mag)[..., None]
+    return jnp.where(invalid[..., None], 0.0, f)
+
+
+def _pdf_microfacet_trans(lobe: Lobe, wo, wi):
+    """(reference: src/bsdf.cc:112-126)"""
+    eta = _trans_eta(lobe, wo)
+    wh = normalize(wo + wi * eta[..., None])
+    dot_o = dot(wo, wh)
+    dot_i = dot(wi, wh)
+    invalid = _same_hemisphere(wo, wi) | (dot_o * dot_i > 0.0)
+    sqrt_denom = dot_o + eta * dot_i
+    dwh_dwi = jnp.abs(eta * eta * dot_i) / jnp.maximum(sqrt_denom * sqrt_denom, 1e-12)
+    # pdf_wh expects wh in the +z hemisphere relative to wo's side
+    wh_up = jnp.where((wh[..., 2] < 0.0)[..., None], -wh, wh)
+    p = mf.pdf_wh(lobe.mf_kind, wo, wh_up, lobe.a0, lobe.a1) * dwh_dwi
+    return jnp.where(invalid, 0.0, p)
+
+
+def _sample_microfacet_trans(lobe: Lobe, wo, u):
+    """(reference: src/bsdf.cc:128-145)"""
+    from .linalg import refract as _refract
+
+    wh = mf.sample_wh(lobe.mf_kind, wo, lobe.a0, lobe.a1, u)
+    eta_s = jnp.where(
+        wo[..., 2] > 0.0,
+        lobe.fr_eta_i / lobe.fr_eta_t,
+        lobe.fr_eta_t / lobe.fr_eta_i,
+    )
+    wi, refr_ok = _refract(wo, wh, eta_s)
+    wi = normalize(wi)
+    ok = (dot(wo, wh) >= 0.0) & refr_ok & (jnp.abs(wo[..., 2]) > 1e-9)
+    f = _eval_microfacet_trans(lobe, wo, wi)
+    p = _pdf_microfacet_trans(lobe, wo, wi)
+    return (
+        wi,
+        jnp.where(ok[..., None], f, 0.0),
+        jnp.where(ok, p, 0.0),
+    )
+
+
 def _eval_phong(lobe: Lobe, wo, wi):
     """Energy-conserving modified Phong (reference: src/bsdf.h:569-580)."""
     ok = _same_hemisphere(wo, wi)
@@ -246,9 +337,11 @@ def eval_f(lobe: Lobe, wo, wi) -> jnp.ndarray:
     f_lam = _eval_lambert(lobe, wo, wi)
     f_mic = _eval_microfacet(lobe, wo, wi)
     f_pho = _eval_phong(lobe, wo, wi)
+    f_mt = _eval_microfacet_trans(lobe, wo, wi)
     out = jnp.where((lobe.kind == LOBE_LAMBERT)[..., None], f_lam, 0.0)
     out = jnp.where((lobe.kind == LOBE_MICROFACET)[..., None], f_mic, out)
     out = jnp.where((lobe.kind == LOBE_PHONG)[..., None], f_pho, out)
+    out = jnp.where((lobe.kind == LOBE_MICROFACET_TRANS)[..., None], f_mt, out)
     return out
 
 
@@ -257,9 +350,11 @@ def pdf(lobe: Lobe, wo, wi) -> jnp.ndarray:
     p_lam = _pdf_lambert(wo, wi)
     p_mic = _pdf_microfacet(lobe, wo, wi)
     p_pho = _pdf_phong(lobe, wo, wi)
+    p_mt = _pdf_microfacet_trans(lobe, wo, wi)
     out = jnp.where(lobe.kind == LOBE_LAMBERT, p_lam, 0.0)
     out = jnp.where(lobe.kind == LOBE_MICROFACET, p_mic, out)
     out = jnp.where(lobe.kind == LOBE_PHONG, p_pho, out)
+    out = jnp.where(lobe.kind == LOBE_MICROFACET_TRANS, p_mt, out)
     return out
 
 
@@ -376,6 +471,7 @@ def sample(lobe: Lobe, wo, u) -> BSDFSample:
     wi_f, f_f, p_f = _sample_fresnel(lobe, wo, u)
     wi_m, f_m, p_m = _sample_microfacet(lobe, wo, u)
     wi_p, f_p, p_p = _sample_phong(lobe, wo, u)
+    wi_t, f_t, p_t = _sample_microfacet_trans(lobe, wo, u)
 
     k = lobe.kind
     k3 = k[..., None]
@@ -383,14 +479,17 @@ def sample(lobe: Lobe, wo, u) -> BSDFSample:
     wi = jnp.where(k3 == LOBE_FRESNEL, wi_f, wi)
     wi = jnp.where(k3 == LOBE_MICROFACET, wi_m, wi)
     wi = jnp.where(k3 == LOBE_PHONG, wi_p, wi)
+    wi = jnp.where(k3 == LOBE_MICROFACET_TRANS, wi_t, wi)
     f = jnp.where(k3 == LOBE_SPECULAR, f_s, f_l)
     f = jnp.where(k3 == LOBE_FRESNEL, f_f, f)
     f = jnp.where(k3 == LOBE_MICROFACET, f_m, f)
     f = jnp.where(k3 == LOBE_PHONG, f_p, f)
+    f = jnp.where(k3 == LOBE_MICROFACET_TRANS, f_t, f)
     p = jnp.where(k == LOBE_SPECULAR, p_s, p_l)
     p = jnp.where(k == LOBE_FRESNEL, p_f, p)
     p = jnp.where(k == LOBE_MICROFACET, p_m, p)
     p = jnp.where(k == LOBE_PHONG, p_p, p)
+    p = jnp.where(k == LOBE_MICROFACET_TRANS, p_t, p)
     # the iterative integrator tags specular bounces to gate next-hit emission
     # (reference: src/integrator.cc:381)
     return BSDFSample(wi=wi, f=f, pdf=p, is_specular=is_delta(lobe))

@@ -127,6 +127,14 @@ class SceneBuilder:
                   remap: bool = False) -> int:
         return self._add_mat(bsdf_ops.MAT_METAL, eta, k, urough, vrough, remap)
 
+    def add_roughglass(self, eta: float, roughness: float, kr=(1, 1, 1),
+                      kt=(1, 1, 1), remap: bool = False) -> int:
+        """Rough dielectric from the reference's FMicrofacetReflection +
+        FMicrofacetTransmission pair (the latter is orphaned in the
+        reference, reference: src/bsdf.cc:80-145)."""
+        return self._add_mat(bsdf_ops.MAT_ROUGHGLASS, kr, kt, roughness,
+                             eta, remap)
+
     # -- shapes ------------------------------------------------------------
     def add_triangle(self, p0, p1, p2, mat: int, flip_normal=False, uv=None):
         p0, p1, p2 = (np.asarray(p, np.float32) for p in (p0, p1, p2))

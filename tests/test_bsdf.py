@@ -212,3 +212,42 @@ def test_roughness_remap():
     assert abs(a - 0.684) < 5e-3
     # monotone in roughness
     assert float(mf.roughness_to_alpha(jnp.asarray(0.05))) < a
+
+
+def test_microfacet_transmission_refracts():
+    """Transmission lobe: sampled wi crosses the interface, f/pdf finite,
+    and eval/pdf agree with the sample (reference: src/bsdf.cc:80-145)."""
+    n = 50_000
+    lobe = const_lobe(
+        B.LOBE_MICROFACET_TRANS, n,
+        f0=jnp.ones((n, 3)) * 0.9,
+        a0=jnp.full((n,), 0.3), a1=jnp.full((n,), 0.3),
+        fr_eta_i=jnp.ones((n,)), fr_eta_t=jnp.full((n,), 1.5),
+    )
+    wo = wo_batch(n, z=0.7)
+    u = jax.random.uniform(jax.random.key(9), (n, 2))
+    s = B.sample(lobe, wo, u)
+    ok = np.asarray(s.pdf) > 0
+    assert ok.mean() > 0.5  # most samples refract at this roughness
+    wi = np.asarray(s.wi)[ok]
+    assert np.all(wi[:, 2] < 0)  # crossed into the lower hemisphere
+    f_eval = np.asarray(B.eval_f(lobe, wo, s.wi))[ok]
+    p_eval = np.asarray(B.pdf(lobe, wo, s.wi))[ok]
+    np.testing.assert_allclose(f_eval, np.asarray(s.f)[ok], rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(p_eval, np.asarray(s.pdf)[ok], rtol=5e-3, atol=1e-5)
+    # energy bounded
+    est = np.asarray(s.f * jnp.abs(s.wi[:, 2:3]) / jnp.maximum(s.pdf, 1e-9)[:, None])
+    assert est[ok].mean() <= 1.0
+
+
+def test_roughglass_material_scatters_both_sides():
+    mk = jnp.full((2,), B.MAT_ROUGHGLASS, jnp.int32)
+    c0 = jnp.ones((2, 3)) * 0.9
+    c1 = jnp.ones((2, 3)) * 0.9
+    s0 = jnp.full((2,), 0.3)   # roughness
+    s1 = jnp.full((2,), 1.5)   # eta
+    lobe = B.make_lobe(mk, c0, c1, s0, s1, jnp.zeros((2,), bool),
+                       jnp.asarray([0.1, 0.9]))
+    assert int(lobe.kind[0]) == B.LOBE_MICROFACET
+    assert int(lobe.kind[1]) == B.LOBE_MICROFACET_TRANS
+    assert float(lobe.fr_eta_t[1]) == pytest.approx(1.5)
