@@ -128,11 +128,14 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
 
         # -- NEE over all lights (reference: src/integrator.cc:357-372) ----
         for li_idx in range(nl if nee else 0):
+            if meta.lights[li_idx].static_black:
+                continue  # zero-radiance light: skip the shadow traversal
             ls = light_ops.sample_li(
                 meta, pack, li_idx, hit.position, rng.stream_nee(u_vertex, li_idx)
             )
             wi_local = to_local(frame, _sg(ls.wi))
-            f = bsdf_ops.eval_f(lobe, wo_local, wi_local)
+            f = bsdf_ops.eval_f(lobe, wo_local, wi_local,
+                                lobes=meta.present_lobes)
             useful = (
                 cont
                 & ~delta
@@ -145,7 +148,8 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
             occ = scene_pack.occluded(meta, pack, hit.position, _sg(ls.pos))
             n_rays = n_rays + jnp.sum(useful.astype(jnp.float32))
             if mis and not scene_pack.light_is_delta(meta, li_idx):
-                pb = bsdf_ops.pdf(lobe, wo_local, wi_local)
+                pb = bsdf_ops.pdf(lobe, wo_local, wi_local,
+                                  lobes=meta.present_lobes)
                 w_l = power_heuristic(1.0, _sg(ls.pdf), 1.0, _sg(pb))
             else:
                 w_l = 1.0
@@ -160,7 +164,8 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
             L = L + jnp.where((useful & ~occ)[:, None], contrib, 0.0)
 
         # -- BSDF sampling (reference: src/integrator.cc:375-379) ----------
-        bs = bsdf_ops.sample(lobe, wo_local, rng.stream_bsdf(u_vertex, nl))
+        bs = bsdf_ops.sample(lobe, wo_local, rng.stream_bsdf(u_vertex, nl),
+                             lobes=meta.present_lobes)
         wi_world = _sg(to_world(frame, bs.wi))
         pdf_b = _sg(bs.pdf)
         sample_ok = (pdf_b > 0.0) & ~is_black(bs.f)
@@ -245,11 +250,14 @@ def li_whitted(meta, pack, o, d, u, max_depth: int):
         wo_local = to_local(frame, hit.wo)
 
         for li_idx in range(nl):
+            if meta.lights[li_idx].static_black:
+                continue
             ls = light_ops.sample_li(
                 meta, pack, li_idx, hit.position, rng.stream_nee(u_vertex, li_idx)
             )
             wi_local = to_local(frame, _sg(ls.wi))
-            f = bsdf_ops.eval_f(lobe, wo_local, wi_local)
+            f = bsdf_ops.eval_f(lobe, wo_local, wi_local,
+                                lobes=meta.present_lobes)
             useful = cont & ~delta & (_sg(ls.pdf) > 0.0) & ~is_black(ls.li) & ~is_black(f)
             occ = scene_pack.occluded(meta, pack, hit.position, _sg(ls.pos))
             contrib = beta * f * ls.li * (
@@ -257,7 +265,8 @@ def li_whitted(meta, pack, o, d, u, max_depth: int):
             )[:, None]
             L = L + jnp.where((useful & ~occ)[:, None], contrib, 0.0)
 
-        bs = bsdf_ops.sample(lobe, wo_local, rng.stream_bsdf(u_vertex, nl))
+        bs = bsdf_ops.sample(lobe, wo_local, rng.stream_bsdf(u_vertex, nl),
+                             lobes=meta.present_lobes)
         wi_world = _sg(to_world(frame, bs.wi))
         pdf_b = _sg(bs.pdf)
         # continue only through specular lobes (reference: src/integrator.cc:171-220)

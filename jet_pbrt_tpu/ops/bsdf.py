@@ -330,31 +330,49 @@ def _pdf_phong(lobe: Lobe, wo, wi):
     return jnp.where(pos, p, 0.0)
 
 
-def eval_f(lobe: Lobe, wo, wi) -> jnp.ndarray:
+ALL_LOBES = (LOBE_LAMBERT, LOBE_SPECULAR, LOBE_FRESNEL, LOBE_MICROFACET,
+             LOBE_PHONG, LOBE_MICROFACET_TRANS)
+
+
+def eval_f(lobe: Lobe, wo, wi, lobes=None) -> jnp.ndarray:
     """World-free local-frame f; delta lobes evaluate to 0
-    (reference: src/bsdf.h:405-413, 470-478)."""
+    (reference: src/bsdf.h:405-413, 470-478).
+
+    `lobes` — optional static tuple of lobe kinds that can occur in the
+    scene (SceneMeta.present_lobes); branches for absent kinds are skipped
+    at trace time, a large win for scenes using few material kinds."""
+    lobes = ALL_LOBES if lobes is None else lobes
     lobe = _sanitize(lobe)
-    f_lam = _eval_lambert(lobe, wo, wi)
-    f_mic = _eval_microfacet(lobe, wo, wi)
-    f_pho = _eval_phong(lobe, wo, wi)
-    f_mt = _eval_microfacet_trans(lobe, wo, wi)
-    out = jnp.where((lobe.kind == LOBE_LAMBERT)[..., None], f_lam, 0.0)
-    out = jnp.where((lobe.kind == LOBE_MICROFACET)[..., None], f_mic, out)
-    out = jnp.where((lobe.kind == LOBE_PHONG)[..., None], f_pho, out)
-    out = jnp.where((lobe.kind == LOBE_MICROFACET_TRANS)[..., None], f_mt, out)
+    out = jnp.zeros(wo.shape, wo.dtype)
+    if LOBE_LAMBERT in lobes:
+        out = jnp.where((lobe.kind == LOBE_LAMBERT)[..., None],
+                        _eval_lambert(lobe, wo, wi), out)
+    if LOBE_MICROFACET in lobes:
+        out = jnp.where((lobe.kind == LOBE_MICROFACET)[..., None],
+                        _eval_microfacet(lobe, wo, wi), out)
+    if LOBE_PHONG in lobes:
+        out = jnp.where((lobe.kind == LOBE_PHONG)[..., None],
+                        _eval_phong(lobe, wo, wi), out)
+    if LOBE_MICROFACET_TRANS in lobes:
+        out = jnp.where((lobe.kind == LOBE_MICROFACET_TRANS)[..., None],
+                        _eval_microfacet_trans(lobe, wo, wi), out)
     return out
 
 
-def pdf(lobe: Lobe, wo, wi) -> jnp.ndarray:
+def pdf(lobe: Lobe, wo, wi, lobes=None) -> jnp.ndarray:
+    lobes = ALL_LOBES if lobes is None else lobes
     lobe = _sanitize(lobe)
-    p_lam = _pdf_lambert(wo, wi)
-    p_mic = _pdf_microfacet(lobe, wo, wi)
-    p_pho = _pdf_phong(lobe, wo, wi)
-    p_mt = _pdf_microfacet_trans(lobe, wo, wi)
-    out = jnp.where(lobe.kind == LOBE_LAMBERT, p_lam, 0.0)
-    out = jnp.where(lobe.kind == LOBE_MICROFACET, p_mic, out)
-    out = jnp.where(lobe.kind == LOBE_PHONG, p_pho, out)
-    out = jnp.where(lobe.kind == LOBE_MICROFACET_TRANS, p_mt, out)
+    out = jnp.zeros(wo.shape[:-1], wo.dtype)
+    if LOBE_LAMBERT in lobes:
+        out = jnp.where(lobe.kind == LOBE_LAMBERT, _pdf_lambert(wo, wi), out)
+    if LOBE_MICROFACET in lobes:
+        out = jnp.where(lobe.kind == LOBE_MICROFACET,
+                        _pdf_microfacet(lobe, wo, wi), out)
+    if LOBE_PHONG in lobes:
+        out = jnp.where(lobe.kind == LOBE_PHONG, _pdf_phong(lobe, wo, wi), out)
+    if LOBE_MICROFACET_TRANS in lobes:
+        out = jnp.where(lobe.kind == LOBE_MICROFACET_TRANS,
+                        _pdf_microfacet_trans(lobe, wo, wi), out)
     return out
 
 
@@ -463,33 +481,28 @@ def _sample_phong(lobe: Lobe, wo, u):
     return wi, _eval_phong(lobe, wo, wi), _pdf_phong(lobe, wo, wi)
 
 
-def sample(lobe: Lobe, wo, u) -> BSDFSample:
-    """Sample all lobe kinds, select by tag. u: [N,2]."""
+def sample(lobe: Lobe, wo, u, lobes=None) -> BSDFSample:
+    """Sample the lobe kinds present, select by tag. u: [N,2]; `lobes` is
+    the optional static present-kind tuple (see eval_f)."""
+    lobes = ALL_LOBES if lobes is None else lobes
     lobe = _sanitize(lobe)
-    wi_l, f_l, p_l = _sample_lambert(lobe, wo, u)
-    wi_s, f_s, p_s = _sample_specular(lobe, wo)
-    wi_f, f_f, p_f = _sample_fresnel(lobe, wo, u)
-    wi_m, f_m, p_m = _sample_microfacet(lobe, wo, u)
-    wi_p, f_p, p_p = _sample_phong(lobe, wo, u)
-    wi_t, f_t, p_t = _sample_microfacet_trans(lobe, wo, u)
-
-    k = lobe.kind
-    k3 = k[..., None]
-    wi = jnp.where(k3 == LOBE_SPECULAR, wi_s, wi_l)
-    wi = jnp.where(k3 == LOBE_FRESNEL, wi_f, wi)
-    wi = jnp.where(k3 == LOBE_MICROFACET, wi_m, wi)
-    wi = jnp.where(k3 == LOBE_PHONG, wi_p, wi)
-    wi = jnp.where(k3 == LOBE_MICROFACET_TRANS, wi_t, wi)
-    f = jnp.where(k3 == LOBE_SPECULAR, f_s, f_l)
-    f = jnp.where(k3 == LOBE_FRESNEL, f_f, f)
-    f = jnp.where(k3 == LOBE_MICROFACET, f_m, f)
-    f = jnp.where(k3 == LOBE_PHONG, f_p, f)
-    f = jnp.where(k3 == LOBE_MICROFACET_TRANS, f_t, f)
-    p = jnp.where(k == LOBE_SPECULAR, p_s, p_l)
-    p = jnp.where(k == LOBE_FRESNEL, p_f, p)
-    p = jnp.where(k == LOBE_MICROFACET, p_m, p)
-    p = jnp.where(k == LOBE_PHONG, p_p, p)
-    p = jnp.where(k == LOBE_MICROFACET_TRANS, p_t, p)
+    samplers = {
+        LOBE_LAMBERT: lambda: _sample_lambert(lobe, wo, u),
+        LOBE_SPECULAR: lambda: _sample_specular(lobe, wo),
+        LOBE_FRESNEL: lambda: _sample_fresnel(lobe, wo, u),
+        LOBE_MICROFACET: lambda: _sample_microfacet(lobe, wo, u),
+        LOBE_PHONG: lambda: _sample_phong(lobe, wo, u),
+        LOBE_MICROFACET_TRANS: lambda: _sample_microfacet_trans(lobe, wo, u),
+    }
+    wi = jnp.zeros(wo.shape, wo.dtype)
+    f = jnp.zeros(wo.shape, wo.dtype)
+    p = jnp.zeros(wo.shape[:-1], wo.dtype)
+    for k in lobes:
+        wi_k, f_k, p_k = samplers[k]()
+        sel = lobe.kind == k
+        wi = jnp.where(sel[..., None], wi_k, wi)
+        f = jnp.where(sel[..., None], f_k, f)
+        p = jnp.where(sel, p_k, p)
     # the iterative integrator tags specular bounces to gate next-hit emission
     # (reference: src/integrator.cc:381)
     return BSDFSample(wi=wi, f=f, pdf=p, is_specular=is_delta(lobe))

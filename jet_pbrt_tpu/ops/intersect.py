@@ -38,6 +38,23 @@ def _closest(t_nm: jnp.ndarray, valid_nm: jnp.ndarray) -> KindHit:
     return KindHit(t=t, index=idx, valid=jnp.isfinite(t))
 
 
+def _closest_mn(t_mn: jnp.ndarray, valid_mn: jnp.ndarray) -> KindHit:
+    """Reduce [M, N] (shape-major) candidates to the per-ray closest.
+
+    Shape-major orientation keeps the big ray axis minor, i.e. in the
+    128-wide TPU lane dimension, so the candidate math runs at full VPU
+    utilization instead of wasting lanes on a small shape count."""
+    t_masked = jnp.where(valid_mn, t_mn, NO_HIT_T)
+    idx = jnp.argmin(t_masked, axis=0).astype(jnp.int32)
+    t = jnp.min(t_masked, axis=0)
+    return KindHit(t=t, index=idx, valid=jnp.isfinite(t))
+
+
+def _c3(a):
+    """Split [K,3] into scalar component columns."""
+    return a[..., 0], a[..., 1], a[..., 2]
+
+
 def empty_hit(n: int) -> KindHit:
     return KindHit(
         t=jnp.full((n,), NO_HIT_T),
@@ -53,24 +70,38 @@ def empty_hit(n: int) -> KindHit:
 # ---------------------------------------------------------------------------
 
 def intersect_triangles(o, d, tmin, tmax, p0, p1, p2) -> KindHit:
-    """o,d: [N,3]; p0,p1,p2: [T,3]. Full [N,T] broadcast (use the BVH kernel
-    for large T)."""
-    e1 = (p1 - p0)[None, :, :]                     # [1,T,3]
-    e2 = (p2 - p0)[None, :, :]
-    dxe2 = cross(d[:, None, :], e2)                # [N,T,3]
-    det = dot(e1, dxe2)                            # [N,T]
+    """o,d: [N,3]; p0,p1,p2: [T,3]. Shape-major [T,N] component math — the
+    ray axis stays lane-minor for full VPU width (use the BVH kernel for
+    large T)."""
+    ox, oy, oz = (c[None, :] for c in _c3(o))        # [1,N]
+    dx, dy, dz = (c[None, :] for c in _c3(d))
+    p0x, p0y, p0z = (c[:, None] for c in _c3(p0))    # [T,1]
+    e1x, e1y, e1z = (c[:, None] for c in _c3(p1 - p0))
+    e2x, e2y, e2z = (c[:, None] for c in _c3(p2 - p0))
+
+    # pvec = d x e2                                   [T,N]
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
     inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tvec = o[:, None, :] - p0[None, :, :]
-    u = dot(tvec, dxe2) * inv_det
-    qvec = cross(tvec, e1)
-    v = dot(d[:, None, :], qvec) * inv_det
-    t = dot(e2, qvec) * inv_det
+    # tvec = o - p0
+    tx = ox - p0x
+    ty = oy - p0y
+    tz = oz - p0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # qvec = tvec x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     valid = (
         (jnp.abs(det) > 1e-12)
         & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-        & (t > tmin[:, None]) & (t < tmax[:, None])
+        & (t > tmin[None, :]) & (t < tmax[None, :])
     )
-    return _closest(t, valid)
+    return _closest_mn(t, valid)
 
 
 def triangle_normal(p0, p1, p2, flip=None) -> jnp.ndarray:
@@ -88,18 +119,24 @@ def triangle_normal(p0, p1, p2, flip=None) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def intersect_spheres(o, d, tmin, tmax, center, radius) -> KindHit:
-    """center: [S,3], radius: [S]."""
-    oc = center[None, :, :] - o[:, None, :]         # [N,S,3]
-    b = dot(oc, d[:, None, :])                      # [N,S]
-    det = b * b - dot(oc, oc) + radius[None, :] ** 2
+    """center: [S,3], radius: [S]. Shape-major [S,N] component math."""
+    ox, oy, oz = (c[None, :] for c in _c3(o))
+    dx, dy, dz = (c[None, :] for c in _c3(d))
+    cx, cy, cz = (c[:, None] for c in _c3(center))
+    r = radius[:, None]
+    ocx = cx - ox
+    ocy = cy - oy
+    ocz = cz - oz
+    b = ocx * dx + ocy * dy + ocz * dz               # [S,N]
+    det = b * b - (ocx * ocx + ocy * ocy + ocz * ocz) + r * r
     sq = jnp.sqrt(jnp.maximum(det, 0.0))
     t_near = b - sq
     t_far = b + sq
-    in_near = (t_near > tmin[:, None]) & (t_near < tmax[:, None])
-    in_far = (t_far > tmin[:, None]) & (t_far < tmax[:, None])
+    in_near = (t_near > tmin[None, :]) & (t_near < tmax[None, :])
+    in_far = (t_far > tmin[None, :]) & (t_far < tmax[None, :])
     t = jnp.where(in_near, t_near, t_far)
     valid = (det >= 0.0) & (in_near | in_far)
-    return _closest(t, valid)
+    return _closest_mn(t, valid)
 
 
 # ---------------------------------------------------------------------------
@@ -109,22 +146,39 @@ def intersect_spheres(o, d, tmin, tmax, center, radius) -> KindHit:
 # ---------------------------------------------------------------------------
 
 def intersect_rects(o, d, tmin, tmax, q0, q1, q2, q3, n) -> KindHit:
-    oa = q0[None, :, :] - o[:, None, :]
-    ob = q1[None, :, :] - o[:, None, :]
-    oc = q2[None, :, :] - o[:, None, :]
-    od = q3[None, :, :] - o[:, None, :]
-    dN = d[:, None, :]
-    v0d = dot(cross(oc, ob), dN)
-    v1d = dot(cross(ob, oa), dN)
-    v2d = dot(cross(oa, od), dN)
-    v3d = dot(cross(od, oc), dN)
+    ox, oy, oz = (c[None, :] for c in _c3(o))
+    dx, dy, dz = (c[None, :] for c in _c3(d))
+
+    def corner(q):
+        qx, qy, qz = (c[:, None] for c in _c3(q))
+        return qx - ox, qy - oy, qz - oz             # [R,N] comps
+
+    ax, ay, az = corner(q0)
+    bx, by, bz = corner(q1)
+    cx, cy, cz = corner(q2)
+    ex, ey, ez = corner(q3)
+
+    def cross_dot_d(ux, uy, uz, vx, vy, vz):
+        return (
+            (uy * vz - uz * vy) * dx
+            + (uz * vx - ux * vz) * dy
+            + (ux * vy - uy * vx) * dz
+        )
+
+    v0d = cross_dot_d(cx, cy, cz, bx, by, bz)
+    v1d = cross_dot_d(bx, by, bz, ax, ay, az)
+    v2d = cross_dot_d(ax, ay, az, ex, ey, ez)
+    v3d = cross_dot_d(ex, ey, ez, cx, cy, cz)
     same_neg = (v0d < 0) & (v1d < 0) & (v2d < 0) & (v3d < 0)
     same_pos = (v0d >= 0) & (v1d >= 0) & (v2d >= 0) & (v3d >= 0)
     inside = same_neg | same_pos
-    denom = dot(n[None, :, :], dN)
-    t = jnp.where(jnp.abs(denom) > 1e-12, dot(n[None, :, :], oa) / denom, NO_HIT_T)
-    valid = inside & (t > tmin[:, None]) & (t < tmax[:, None])
-    return _closest(t, valid)
+    nx, ny, nz = (c[:, None] for c in _c3(n))
+    denom = nx * dx + ny * dy + nz * dz
+    t = jnp.where(
+        jnp.abs(denom) > 1e-12, (nx * ax + ny * ay + nz * az) / denom, NO_HIT_T
+    )
+    valid = inside & (t > tmin[None, :]) & (t < tmax[None, :])
+    return _closest_mn(t, valid)
 
 
 def rect_hit_normal(n_gathered: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
@@ -137,18 +191,28 @@ def rect_hit_normal(n_gathered: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def intersect_disks(o, d, tmin, tmax, center, n, radius) -> KindHit:
-    dN = d[:, None, :]
-    denom = dot(n[None, :, :], dN)                  # [N,D]
-    op = center[None, :, :] - o[:, None, :]
-    t = jnp.where(jnp.abs(denom) > 1e-9, dot(n[None, :, :], op) / denom, NO_HIT_T)
-    hit_p = o[:, None, :] + t[..., None] * dN
-    r2 = dot(hit_p - center[None, :, :], hit_p - center[None, :, :])
+    ox, oy, oz = (c[None, :] for c in _c3(o))
+    dx, dy, dz = (c[None, :] for c in _c3(d))
+    cx, cy, cz = (c[:, None] for c in _c3(center))
+    nx, ny, nz = (c[:, None] for c in _c3(n))
+    denom = nx * dx + ny * dy + nz * dz              # [D,N]
+    opx = cx - ox
+    opy = cy - oy
+    opz = cz - oz
+    t = jnp.where(
+        jnp.abs(denom) > 1e-9, (nx * opx + ny * opy + nz * opz) / denom,
+        NO_HIT_T,
+    )
+    hx = ox + t * dx - cx
+    hy = oy + t * dy - cy
+    hz = oz + t * dz - cz
+    r2 = hx * hx + hy * hy + hz * hz
     valid = (
         (jnp.abs(denom) > 1e-9)
-        & (t > tmin[:, None]) & (t < tmax[:, None])
-        & (r2 <= (radius[None, :] ** 2))
+        & (t > tmin[None, :]) & (t < tmax[None, :])
+        & (r2 <= (radius[:, None] ** 2))
     )
-    return _closest(t, valid)
+    return _closest_mn(t, valid)
 
 
 # ---------------------------------------------------------------------------

@@ -227,9 +227,14 @@ class SceneBuilder:
         light_id = self._add_light(
             LightMeta(LIGHT_AREA, shape_kind=kind, shape_idx=idx), radiance
         )
-        store = {KIND_TRI: self._tri, KIND_SPHERE: self._sph,
-                 KIND_RECT: self._rect, KIND_DISK: self._disk}[kind]
-        store[idx][-1] = light_id
+        # (store, light-id column) per shape kind — see __init__ row layouts
+        store, col = {
+            KIND_TRI: (self._tri, 5),
+            KIND_SPHERE: (self._sph, 3),
+            KIND_RECT: (self._rect, 3),
+            KIND_DISK: (self._disk, 4),
+        }[kind]
+        store[idx][col] = light_id
         return light_id
 
     def add_area_light_mesh(self, shape_refs, radiance) -> list:
@@ -237,7 +242,8 @@ class SceneBuilder:
         return [self.add_area_light(r, radiance) for r in shape_refs]
 
     # -- build -------------------------------------------------------------
-    def build(self, use_bvh: bool | None = None, bvh_leaf_size: int = 4) -> Scene:
+    def build(self, use_bvh: bool | None = None, bvh_leaf_size: int = 4,
+              prune_black_nee: bool = True) -> Scene:
         def stack(rows, i, shape, dtype=np.float32):
             if rows:
                 return np.stack([np.asarray(r[i], dtype) for r in rows])
@@ -335,6 +341,25 @@ class SceneBuilder:
             bvh_first = np.zeros((0,), np.int32)
             bvh_count = np.zeros((0,), np.int32)
 
+        lobe_map = {
+            bsdf_ops.MAT_MATTE: (bsdf_ops.LOBE_LAMBERT,),
+            bsdf_ops.MAT_MIRROR: (bsdf_ops.LOBE_SPECULAR,),
+            bsdf_ops.MAT_GLASS: (bsdf_ops.LOBE_FRESNEL,),
+            bsdf_ops.MAT_PLASTIC: (bsdf_ops.LOBE_LAMBERT,
+                                   bsdf_ops.LOBE_MICROFACET),
+            bsdf_ops.MAT_METAL: (bsdf_ops.LOBE_MICROFACET,),
+            bsdf_ops.MAT_ROUGHGLASS: (bsdf_ops.LOBE_MICROFACET,
+                                      bsdf_ops.LOBE_MICROFACET_TRANS),
+        }
+        present_lobes = tuple(sorted({
+            lb for m in self._mat for lb in lobe_map[m[0]]
+        }))
+
+        light_metas = []
+        for lm, c, _pos, _dir in self._lights:
+            if prune_black_nee and float(np.abs(c).sum()) == 0.0:
+                lm = dataclasses.replace(lm, static_black=True)
+            light_metas.append(lm)
         meta = SceneMeta(
             name=self.name,
             n_tri=n_tri,
@@ -342,9 +367,10 @@ class SceneBuilder:
             n_rect=len(self._rect),
             n_disk=len(self._disk),
             n_mat=len(self._mat),
-            lights=tuple(l[0] for l in self._lights),
+            lights=tuple(light_metas),
             use_bvh=bool(use_bvh),
             n_tex=n_tex,
+            present_lobes=present_lobes,
         )
         pack = ScenePack(
             tri_p0=jnp.asarray(tri_p0), tri_p1=jnp.asarray(tri_p1),

@@ -39,10 +39,18 @@ LIGHT_ENV = 3
 class LightMeta:
     """Static description of one light (its kind and, for area lights, which
     shape row it wraps). Radiance/intensity values live in ScenePack.light_c
-    so they stay differentiable."""
+    so they stay differentiable.
+
+    static_black marks a light whose radiance was exactly zero at build time
+    (e.g. the cornell scene's black environment light, reference:
+    src/main.cc:24-25). NEE skips such lights — the reference wastes a full
+    shadow-ray traversal per bounce on them. The only observable difference
+    is that gradients w.r.t. that light's radiance lose their NEE term;
+    build with prune_black_nee=False to keep it."""
     kind: int
     shape_kind: int = -1
     shape_idx: int = -1
+    static_black: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,6 +64,9 @@ class SceneMeta:
     lights: tuple  # tuple[LightMeta, ...]
     use_bvh: bool = False
     n_tex: int = 0
+    # static set of BSDF lobe kinds the scene's materials can resolve to;
+    # None means "all" (bsdf.ALL_LOBES)
+    present_lobes: tuple | None = None
 
     @property
     def n_lights(self) -> int:
