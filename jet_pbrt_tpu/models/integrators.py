@@ -115,10 +115,10 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
 
         # -- resolve BSDF lobe (reference: src/integrator.cc:348) ----------
         u_vertex = u[:, bounce, :]
-        mat_kind, c0, c1, s0, s1, remap = scene_pack.gather_material(
+        mat_kind, c0, c1, s0, s1, remap, tex_id = scene_pack.gather_material(
             pack, hit.mat_id
         )
-        c0 = scene_pack.effective_kd(meta, pack, hit, c0)
+        c0 = scene_pack.effective_kd(meta, pack, hit, c0, tex_id)
         lobe = bsdf_ops.make_lobe(
             mat_kind, c0, c1, s0, s1, remap, rng.stream_lobe(u_vertex)
         )
@@ -238,10 +238,10 @@ def li_whitted(meta, pack, o, d, u, max_depth: int):
         cont = active & hit.valid
 
         u_vertex = u[:, bounce, :]
-        mat_kind, c0, c1, s0, s1, remap = scene_pack.gather_material(
+        mat_kind, c0, c1, s0, s1, remap, tex_id = scene_pack.gather_material(
             pack, hit.mat_id
         )
-        c0 = scene_pack.effective_kd(meta, pack, hit, c0)
+        c0 = scene_pack.effective_kd(meta, pack, hit, c0, tex_id)
         lobe = bsdf_ops.make_lobe(
             mat_kind, c0, c1, s0, s1, remap, rng.stream_lobe(u_vertex)
         )

@@ -209,18 +209,29 @@ def intersect(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax,
     mat_id = jnp.zeros((n,), jnp.int32)
     light_id = jnp.full((n,), -1, jnp.int32)
     want_uv = with_uv and meta.n_tex > 0
+    from ..ops.gather import take_rows
+
+    def fetch(narr, marr, larr):
+        """One bundled lookup of (normal-ish [*,3], mat, light) per kind."""
+        cols = jnp.concatenate(
+            [narr, marr[:, None].astype(jnp.float32),
+             larr[:, None].astype(jnp.float32)], axis=1,
+        )
+        rows = take_rows(cols, index)
+        return (rows[:, :3], jnp.round(rows[:, 3]).astype(jnp.int32),
+                jnp.round(rows[:, 4]).astype(jnp.int32))
+
     for k in kinds:
         sel = kind == k
         sel3 = sel[:, None]
         if k == KIND_TRI:
-            nk = pack.tri_n[index]
-            mk, lk = pack.tri_mat[index], pack.tri_light[index]
+            nk, mk, lk = fetch(pack.tri_n, pack.tri_mat, pack.tri_light)
             if want_uv:
                 uvk = _tri_uv(pack, index, p)
         elif k == KIND_SPHERE:
             # outward normal (reference: src/shape.h:520)
-            nk = normalize(p - pack.sph_c[index])
-            mk, lk = pack.sph_mat[index], pack.sph_light[index]
+            ck, mk, lk = fetch(pack.sph_c, pack.sph_mat, pack.sph_light)
+            nk = normalize(p - ck)
             if want_uv:
                 # lat-long on the unit normal (reference: src/shape.h:528-538,
                 # corrected to use the normalized offset, not the world point)
@@ -232,8 +243,8 @@ def intersect(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax,
                 )
         elif k == KIND_RECT:
             # rect normals face the ray (reference: src/shape.h:427)
-            nk = isect_ops.rect_hit_normal(pack.rect_n[index], d)
-            mk, lk = pack.rect_mat[index], pack.rect_light[index]
+            nk, mk, lk = fetch(pack.rect_n, pack.rect_mat, pack.rect_light)
+            nk = isect_ops.rect_hit_normal(nk, d)
             if want_uv:
                 # edge projection (reference: src/shape.h:437-447)
                 q = pack.rect_q[index]
@@ -246,8 +257,7 @@ def intersect(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax,
                     axis=-1,
                 )
         else:
-            nk = pack.disk_n[index]
-            mk, lk = pack.disk_mat[index], pack.disk_light[index]
+            nk, mk, lk = fetch(pack.disk_n, pack.disk_mat, pack.disk_light)
             if want_uv:
                 # polar (reference: src/shape.h:223-236)
                 from ..ops.linalg import frame_from_z, to_local
@@ -328,25 +338,26 @@ def occluded(meta: SceneMeta, pack: ScenePack, p_from, p_to) -> jnp.ndarray:
 def emitted(pack: ScenePack, hit: Hit) -> jnp.ndarray:
     """Le at a hit point: one-sided area-light emission
     (reference: src/primitive.h:60-63, src/light.h:234-238)."""
+    from ..ops.gather import take_rows
+
     is_emitter = hit.light_id >= 0
     lid = jnp.maximum(hit.light_id, 0)
-    radiance = pack.light_c[lid]
+    radiance = take_rows(pack.light_c, lid)
     facing = dot(hit.normal, hit.wo) > 0.0
     return jnp.where(
         (is_emitter & facing & hit.valid)[:, None], radiance, 0.0
     )
 
 
-def effective_kd(meta: SceneMeta, pack: ScenePack, hit: Hit, c0):
+def effective_kd(meta: SceneMeta, pack: ScenePack, hit: Hit, c0, tex_id):
     """Replace a material's Kd/base color with its texture tap when the
     material carries a texture id (the capability the reference's dead
     texture subsystem never delivers, SURVEY.md §2 #36). Texels stay on the
-    autodiff tape."""
+    autodiff tape. tex_id comes from gather_material."""
     if meta.n_tex == 0:
         return c0
     from ..ops import texture as tex_ops
 
-    tex_id = pack.mat_tex[hit.mat_id]
     has = tex_id >= 0
     rgb = tex_ops.sample(pack, jnp.maximum(tex_id, 0), hit.uv, hit.position)
     return jnp.where(has[:, None], rgb, c0)
@@ -358,12 +369,38 @@ def light_is_delta(meta: SceneMeta, light_index: int) -> bool:
 
 
 def gather_material(pack: ScenePack, mat_id):
-    """Gather material rows for a ray batch."""
+    """Fetch material rows for a ray batch as
+    (kind, c0, c1, s0, s1, remap, tex).
+
+    One one-hot contraction against the concatenated material table instead
+    of 7 separate gathers — gathers are the single most expensive op in the
+    TPU shading path (see ops/gather.py)."""
+    m = pack.mat_kind.shape[0]
+    import jax
+
+    cols = jnp.concatenate(
+        [
+            pack.mat_kind[:, None].astype(jnp.float32),
+            pack.mat_c0,
+            pack.mat_c1,
+            pack.mat_s0[:, None],
+            pack.mat_s1[:, None],
+            pack.mat_remap[:, None].astype(jnp.float32),
+            pack.mat_tex[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )  # [M, 11]
+    if m <= 128:
+        oh = jax.nn.one_hot(mat_id, m, dtype=jnp.float32)
+        rows = oh @ cols
+    else:
+        rows = cols[mat_id]
     return (
-        pack.mat_kind[mat_id],
-        pack.mat_c0[mat_id],
-        pack.mat_c1[mat_id],
-        pack.mat_s0[mat_id],
-        pack.mat_s1[mat_id],
-        pack.mat_remap[mat_id],
+        jnp.round(rows[:, 0]).astype(jnp.int32),
+        rows[:, 1:4],
+        rows[:, 4:7],
+        rows[:, 7],
+        rows[:, 8],
+        rows[:, 9] > 0.5,
+        jnp.round(rows[:, 10]).astype(jnp.int32),
     )
