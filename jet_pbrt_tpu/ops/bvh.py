@@ -147,46 +147,69 @@ def intersect_bvh(pack, o, d, tmin, tmax) -> KindHit:
     `t_best` min-update replaces the reference's mutable ray.max_t shrink.
     """
     n = o.shape[0]
-    n_nodes = pack.bvh_bmin.shape[0]
+    n_nodes = pack.bvh_nodes.shape[0]
+    n_tris = pack.bvh_tris.shape[0]
 
     safe_d = jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
     inv_d = 1.0 / safe_d
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    ix, iy, iz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
 
     def body(state):
         node, t_best, idx_best = state
         live = node < n_nodes
         nd = jnp.minimum(node, n_nodes - 1)
-        bb_min = pack.bvh_bmin[nd]
-        bb_max = pack.bvh_bmax[nd]
-        t0 = (bb_min - o) * inv_d
-        t1 = (bb_max - o) * inv_d
-        t_lo = jnp.minimum(t0, t1)
-        t_hi = jnp.maximum(t0, t1)
-        t_enter = jnp.max(t_lo, axis=-1)
-        t_exit = jnp.min(t_hi, axis=-1)
+        # ONE gather per step: the whole node row (gathers dominate TPU
+        # traversal cost; see ops/gather.py)
+        row = pack.bvh_nodes[nd]                       # [N,8]
+        t0x = (row[:, 0] - ox) * ix
+        t0y = (row[:, 1] - oy) * iy
+        t0z = (row[:, 2] - oz) * iz
+        t1x = (row[:, 3] - ox) * ix
+        t1y = (row[:, 4] - oy) * iy
+        t1z = (row[:, 5] - oz) * iz
+        t_enter = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        t_exit = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
         box_hit = (t_enter <= t_exit) & (t_exit > tmin) & (
             t_enter < jnp.minimum(tmax, t_best)
         ) & live
 
-        first = pack.bvh_leaf_first[nd]
-        count = pack.bvh_leaf_count[nd]
-        is_leaf = first >= 0
+        miss_link = row[:, 6].astype(jnp.int32)
+        leaf_code = row[:, 7].astype(jnp.int32)
+        is_leaf = leaf_code >= 0
+        first = jnp.maximum(leaf_code, 0) // 8
+        count = jnp.maximum(leaf_code, 0) % 8
         do_leaf = box_hit & is_leaf
 
-        # static LEAF_SIZE-way unrolled Möller-Trumbore on gathered triangles
+        # static LEAF_SIZE-way unrolled Möller-Trumbore; one bundled gather
+        # of (p0, e1, e2) per slot
         for k in range(LEAF_SIZE):
-            ti = jnp.clip(first + k, 0, pack.tri_p0.shape[0] - 1)
-            a = pack.tri_p0[ti]
-            e1 = pack.tri_p1[ti] - a
-            e2 = pack.tri_p2[ti] - a
-            pv = jnp.cross(d, e2)
-            det = jnp.sum(e1 * pv, axis=-1)
+            ti = jnp.clip(first + k, 0, n_tris - 1)
+            tr = pack.bvh_tris[ti]                      # [N,9]
+            ax_, ay_, az_ = tr[:, 0], tr[:, 1], tr[:, 2]
+            e1x, e1y, e1z = tr[:, 3], tr[:, 4], tr[:, 5]
+            e2x, e2y, e2z = tr[:, 6], tr[:, 7], tr[:, 8]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
             inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-            tv = o - a
-            uu = jnp.sum(tv * pv, axis=-1) * inv_det
-            qv = jnp.cross(tv, e1)
-            vv = jnp.sum(d * qv, axis=-1) * inv_det
-            tt = jnp.sum(e2 * qv, axis=-1) * inv_det
+            tx = ox - ax_
+            ty = oy - ay_
+            tz = oz - az_
+            uu = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            vv = (dx * qx + dy * qy + dz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
             ok = (
                 do_leaf
                 & (k < count)
@@ -198,7 +221,7 @@ def intersect_bvh(pack, o, d, tmin, tmax) -> KindHit:
             idx_best = jnp.where(ok, ti.astype(jnp.int32), idx_best)
 
         go_deeper = box_hit & ~is_leaf
-        nxt = jnp.where(go_deeper, node + 1, pack.bvh_miss[nd])
+        nxt = jnp.where(go_deeper, node + 1, miss_link)
         node = jnp.where(live, nxt, node)
         return node, t_best, idx_best
 

@@ -47,7 +47,13 @@ class SceneBuilder:
     def __init__(self, name: str):
         self.name = name
         self.camera: CameraConfig | None = None
-        self._tri = []      # rows: (p0, p1, p2, n, mat, light, uv[3,2])
+        # triangles are stored as vectorized blocks: dicts of
+        # {p0,p1,p2,n,uv [K,...], mat int} + per-row light overrides, so a
+        # 225k-triangle mesh ingests as one numpy block instead of 225k
+        # Python rows
+        self._tri_blocks = []
+        self._tri_count = 0
+        self._tri_lights = {}  # global tri index -> light id
         self._sph = []      # rows: (c, r, mat, light)
         self._rect = []     # rows: (q[4,3], n, mat, light)
         self._disk = []     # rows: (c, n, r, mat, light)
@@ -136,18 +142,30 @@ class SceneBuilder:
                              eta, remap)
 
     # -- shapes ------------------------------------------------------------
-    def add_triangle(self, p0, p1, p2, mat: int, flip_normal=False, uv=None):
-        p0, p1, p2 = (np.asarray(p, np.float32) for p in (p0, p1, p2))
-        n = np.cross(p1 - p0, p2 - p0)
-        norm = np.linalg.norm(n)
-        n = n / norm if norm > 0 else np.array([0, 0, 1], np.float32)
+    def _add_tri_block(self, tris, mat: int, flip_normal: bool, uvs):
+        """tris: [K,3,3]; uvs: [K,3,2] or None. Returns shape refs."""
+        tris = np.asarray(tris, np.float32)
+        k = len(tris)
+        n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+        norm = np.linalg.norm(n, axis=-1, keepdims=True)
+        n = np.where(norm > 0, n / np.maximum(norm, 1e-30),
+                     np.array([0, 0, 1], np.float32))
         if flip_normal:
             n = -n
-        if uv is None:
-            uv = np.zeros((3, 2), np.float32)
-        self._tri.append([p0, p1, p2, n.astype(np.float32), mat, -1,
-                          np.asarray(uv, np.float32)])
-        return (KIND_TRI, len(self._tri) - 1)
+        if uvs is None:
+            uvs = np.zeros((k, 3, 2), np.float32)
+        self._tri_blocks.append(dict(
+            p0=tris[:, 0], p1=tris[:, 1], p2=tris[:, 2],
+            n=n.astype(np.float32), uv=np.asarray(uvs, np.float32), mat=mat,
+        ))
+        start = self._tri_count
+        self._tri_count += k
+        return [(KIND_TRI, start + i) for i in range(k)]
+
+    def add_triangle(self, p0, p1, p2, mat: int, flip_normal=False, uv=None):
+        tri = np.stack([np.asarray(p, np.float32) for p in (p0, p1, p2)])
+        uvs = None if uv is None else np.asarray(uv, np.float32)[None]
+        return self._add_tri_block(tri[None], mat, flip_normal, uvs)[0]
 
     def add_mesh(self, tris, mat: int, flip_normal=False,
                  flip_handedness=False, offset=(0, 0, 0), scale=1.0,
@@ -159,13 +177,7 @@ class SceneBuilder:
         if flip_handedness:
             tris[..., 2] *= -1.0
         tris = tris * np.float32(scale) + np.asarray(offset, np.float32)
-        refs = []
-        for i, t in enumerate(tris):
-            refs.append(self.add_triangle(
-                t[0], t[1], t[2], mat, flip_normal,
-                uv=None if uvs is None else uvs[i],
-            ))
-        return refs
+        return self._add_tri_block(tris, mat, flip_normal, uvs)
 
     def add_sphere(self, center, radius: float, mat: int):
         self._sph.append([np.asarray(center, np.float32), float(radius), mat, -1])
@@ -227,14 +239,16 @@ class SceneBuilder:
         light_id = self._add_light(
             LightMeta(LIGHT_AREA, shape_kind=kind, shape_idx=idx), radiance
         )
-        # (store, light-id column) per shape kind — see __init__ row layouts
-        store, col = {
-            KIND_TRI: (self._tri, 5),
-            KIND_SPHERE: (self._sph, 3),
-            KIND_RECT: (self._rect, 3),
-            KIND_DISK: (self._disk, 4),
-        }[kind]
-        store[idx][col] = light_id
+        if kind == KIND_TRI:
+            self._tri_lights[idx] = light_id
+        else:
+            # (store, light-id column) per shape kind — see __init__ layouts
+            store, col = {
+                KIND_SPHERE: (self._sph, 3),
+                KIND_RECT: (self._rect, 3),
+                KIND_DISK: (self._disk, 4),
+            }[kind]
+            store[idx][col] = light_id
         return light_id
 
     def add_area_light_mesh(self, shape_refs, radiance) -> list:
@@ -249,13 +263,23 @@ class SceneBuilder:
                 return np.stack([np.asarray(r[i], dtype) for r in rows])
             return np.zeros((0,) + shape, dtype)
 
-        tri_p0 = stack(self._tri, 0, (3,))
-        tri_p1 = stack(self._tri, 1, (3,))
-        tri_p2 = stack(self._tri, 2, (3,))
-        tri_n = stack(self._tri, 3, (3,))
-        tri_mat = np.array([r[4] for r in self._tri], np.int32)
-        tri_light = np.array([r[5] for r in self._tri], np.int32)
-        tri_uv = stack(self._tri, 6, (3, 2))
+        def cat(field, shape):
+            if self._tri_blocks:
+                return np.concatenate([b[field] for b in self._tri_blocks])
+            return np.zeros((0,) + shape, np.float32)
+
+        tri_p0 = cat("p0", (3,))
+        tri_p1 = cat("p1", (3,))
+        tri_p2 = cat("p2", (3,))
+        tri_n = cat("n", (3,))
+        tri_uv = cat("uv", (3, 2))
+        tri_mat = np.concatenate(
+            [np.full(len(b["p0"]), b["mat"], np.int32)
+             for b in self._tri_blocks] or [np.zeros(0, np.int32)]
+        )
+        tri_light = np.full(self._tri_count, -1, np.int32)
+        for gi, lid in self._tri_lights.items():
+            tri_light[gi] = lid
 
         sph_c = stack(self._sph, 0, (3,))
         sph_r = np.array([r[1] for r in self._sph], np.float32)
@@ -311,7 +335,7 @@ class SceneBuilder:
         center = 0.5 * (bmin + bmax)
         radius = float(np.linalg.norm(bmax - center))
 
-        n_tri = len(self._tri)
+        n_tri = self._tri_count
         if use_bvh is None:
             use_bvh = n_tri > 64
 
@@ -333,13 +357,21 @@ class SceneBuilder:
                 new_lights.append((lm, c, p, d))
             self._lights = new_lights
             bvh_bmin, bvh_bmax, bvh_miss, bvh_first, bvh_count = bvh
+            # bundle node/tri tables (see ScenePack docstring)
+            leaf_code = np.where(
+                bvh_first >= 0, bvh_first * 8 + bvh_count, -1
+            ).astype(np.float32)
+            bvh_nodes = np.concatenate(
+                [bvh_bmin, bvh_bmax, bvh_miss[:, None].astype(np.float32),
+                 leaf_code[:, None]], axis=1,
+            )
+            bvh_tris = np.concatenate(
+                [tri_p0, tri_p1 - tri_p0, tri_p2 - tri_p0], axis=1
+            ).astype(np.float32)
         else:
             use_bvh = False
-            bvh_bmin = np.zeros((0, 3), np.float32)
-            bvh_bmax = np.zeros((0, 3), np.float32)
-            bvh_miss = np.zeros((0,), np.int32)
-            bvh_first = np.zeros((0,), np.int32)
-            bvh_count = np.zeros((0,), np.int32)
+            bvh_nodes = np.zeros((0, 8), np.float32)
+            bvh_tris = np.zeros((0, 9), np.float32)
 
         lobe_map = {
             bsdf_ops.MAT_MATTE: (bsdf_ops.LOBE_LAMBERT,),
@@ -395,10 +427,7 @@ class SceneBuilder:
             light_dir=jnp.asarray(light_dir),
             world_center=jnp.asarray(center, jnp.float32),
             world_radius=jnp.asarray(radius, jnp.float32),
-            bvh_bmin=jnp.asarray(bvh_bmin), bvh_bmax=jnp.asarray(bvh_bmax),
-            bvh_miss=jnp.asarray(bvh_miss),
-            bvh_leaf_first=jnp.asarray(bvh_first),
-            bvh_leaf_count=jnp.asarray(bvh_count),
+            bvh_nodes=jnp.asarray(bvh_nodes), bvh_tris=jnp.asarray(bvh_tris),
         )
         assert self.camera is not None, "scene needs a camera"
         return Scene(meta=meta, pack=pack, camera=self.camera)

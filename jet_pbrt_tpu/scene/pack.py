@@ -126,12 +126,14 @@ class ScenePack(NamedTuple):
     # world bounding sphere (reference: src/scene.cc:35-45, light Preprocess)
     world_center: jnp.ndarray  # [3]
     world_radius: jnp.ndarray  # []
-    # flattened skip-link BVH over triangles (empty when meta.use_bvh=False)
-    bvh_bmin: jnp.ndarray       # [B,3]
-    bvh_bmax: jnp.ndarray       # [B,3]
-    bvh_miss: jnp.ndarray       # [B] int32 skip link (node idx or B = done)
-    bvh_leaf_first: jnp.ndarray  # [B] int32 first tri slot, -1 for inner nodes
-    bvh_leaf_count: jnp.ndarray  # [B] int32
+    # flattened skip-link BVH over triangles (empty when meta.use_bvh=False).
+    # Bundled into single tables so each traversal step costs ONE gather:
+    #   bvh_nodes[B, 8] = bmin.xyz, bmax.xyz, miss-link, leaf-code
+    #     (leaf-code = first*8 + count for leaves, -1 for inner nodes;
+    #      exact in f32 below 2^24)
+    #   bvh_tris[T', 9] = p0.xyz, e1.xyz, e2.xyz (MT-ready edges)
+    bvh_nodes: jnp.ndarray      # [B,8] f32
+    bvh_tris: jnp.ndarray       # [T',9] f32
 
 
 class Hit(NamedTuple):
