@@ -18,6 +18,8 @@ def main(argv=None) -> int:
     p.add_argument("--max-depth", type=int, default=5)
     p.add_argument("--integrator", default="path",
                    choices=["path", "whitted", "debug"])
+    p.add_argument("--sampler", default="random",
+                   choices=["random", "stratified", "debug"])
     p.add_argument("--mis", action="store_true",
                    help="enable power-heuristic MIS (reference-divergent)")
     p.add_argument("--format", default="bmp", choices=["bmp", "ppm", "hdr"])
@@ -54,7 +56,7 @@ def main(argv=None) -> int:
     img = render(
         scene, args.size, args.size, args.spp, seed=args.seed,
         max_depth=args.max_depth, integrator=args.integrator, mis=args.mis,
-        clamp=not args.no_clamp,
+        sampler=args.sampler, clamp=not args.no_clamp,
     )
     dt = time.time() - t0
     rays = args.size * args.size * args.spp

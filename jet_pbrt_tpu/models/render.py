@@ -23,19 +23,24 @@ from .film import finalize
 
 
 def _wave_fn(meta, width: int, height: int, max_depth: int,
-             integrator: str, mis: bool, nee: bool = True):
+             integrator: str, mis: bool, nee: bool = True,
+             sampler: str = "random", spp: int | None = None):
     """Build the jittable one-wave kernel for a fixed scene meta."""
 
-    def wave(pack, cam, ids, key):
+    def wave(pack, cam, ids, key, sample_index):
         n = ids.shape[0]
-        jitter = rng.camera_jitter(key, n)
+        jitter = rng.camera_jitter(key, n, sampler=sampler,
+                                   sample_index=sample_index, spp=spp)
         # pixel + in-pixel jitter (reference: src/sampler.h:148-155)
         x = (ids % width).astype(jnp.float32) + jitter[:, 0]
         y = (ids // width).astype(jnp.float32) + jitter[:, 1]
         o, d = camera_mod.generate_rays(cam, jnp.stack([x, y], axis=-1))
         if integrator == "debug":
             return integrators.li_debug_normal(meta, pack, o, d)
-        u = rng.path_uniforms(key, n, max_depth, meta.n_lights)
+        if sampler == "debug":
+            u = rng.debug_path_uniforms(n, max_depth, meta.n_lights)
+        else:
+            u = rng.path_uniforms(key, n, max_depth, meta.n_lights)
         if integrator == "whitted":
             return integrators.li_whitted(meta, pack, o, d, u, max_depth)
         return integrators.li_path(meta, pack, o, d, u, max_depth, mis=mis,
@@ -46,8 +51,8 @@ def _wave_fn(meta, width: int, height: int, max_depth: int,
 
 def render(scene, width: int, height: int, spp: int, seed: int = 0,
            max_depth: int = 5, integrator: str = "path", mis: bool = False,
-           nee: bool = True, chunk: int | None = None,
-           clamp: bool = True) -> np.ndarray:
+           nee: bool = True, sampler: str = "random",
+           chunk: int | None = None, clamp: bool = True) -> np.ndarray:
     """Full-frame render; returns a linear [H,W,3] numpy image (averaged over
     spp, optionally clamped like the reference's film write,
     reference: src/integrator.cc:108)."""
@@ -58,7 +63,8 @@ def render(scene, width: int, height: int, spp: int, seed: int = 0,
     n_pixels = width * height
     if chunk is None:
         chunk = min(n_pixels, 1 << 18)
-    wave = _wave_fn(scene.meta, width, height, max_depth, integrator, mis, nee)
+    wave = _wave_fn(scene.meta, width, height, max_depth, integrator, mis,
+                    nee, sampler=sampler, spp=spp)
 
     accum = np.zeros((n_pixels, 3), np.float64)
     n_waves = 1 if integrator == "debug" else spp
@@ -67,7 +73,7 @@ def render(scene, width: int, height: int, spp: int, seed: int = 0,
         for c0 in range(0, n_pixels, chunk):
             ids = jnp.arange(c0, min(c0 + chunk, n_pixels), dtype=jnp.int32)
             key = jax.random.fold_in(base, c0)
-            colors = wave(scene.pack, cam, ids, key)
+            colors = wave(scene.pack, cam, ids, key, jnp.int32(s))
             accum[c0 : c0 + ids.shape[0]] += np.asarray(colors, np.float64)
 
     img = (accum / n_waves).reshape(height, width, 3).astype(np.float32)

@@ -156,12 +156,18 @@ def intersect_bvh(pack, o, d, tmin, tmax) -> KindHit:
     dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
     ix, iy, iz = inv_d[:, 0], inv_d[:, 1], inv_d[:, 2]
 
-    def body(state):
-        node, t_best, idx_best = state
-        live = node < n_nodes
+    # Two-phase lockstep traversal. Phase 1 (inner while): every live lane
+    # steps node-to-node — ONE bundled gather + slab test per step — until
+    # it either finishes or parks on a hit leaf. Phase 2 (outer body):
+    # LEAF_SIZE triangles of the parked leaves are intersected. Leaf work is
+    # the expensive part (4 more gathers + Möller-Trumbore), and this split
+    # makes its cost proportional to leaves *visited* rather than to the
+    # worst ray's total node count.
+
+    def inner_body(state):
+        node, pend, t_best = state
+        stepping = (node < n_nodes) & (pend < 0)
         nd = jnp.minimum(node, n_nodes - 1)
-        # ONE gather per step: the whole node row (gathers dominate TPU
-        # traversal cost; see ops/gather.py)
         row = pack.bvh_nodes[nd]                       # [N,8]
         t0x = (row[:, 0] - ox) * ix
         t0y = (row[:, 1] - oy) * iy
@@ -179,19 +185,34 @@ def intersect_bvh(pack, o, d, tmin, tmax) -> KindHit:
         )
         box_hit = (t_enter <= t_exit) & (t_exit > tmin) & (
             t_enter < jnp.minimum(tmax, t_best)
-        ) & live
+        ) & stepping
 
         miss_link = row[:, 6].astype(jnp.int32)
         leaf_code = row[:, 7].astype(jnp.int32)
         is_leaf = leaf_code >= 0
-        first = jnp.maximum(leaf_code, 0) // 8
-        count = jnp.maximum(leaf_code, 0) % 8
-        do_leaf = box_hit & is_leaf
+        park = box_hit & is_leaf
 
-        # static LEAF_SIZE-way unrolled Möller-Trumbore; one bundled gather
-        # of (p0, e1, e2) per slot
+        pend = jnp.where(park, leaf_code, pend)
+        nxt = jnp.where(box_hit & ~is_leaf, node + 1, miss_link)
+        node = jnp.where(stepping, nxt, node)
+        return node, pend, t_best
+
+    def inner_cond(state):
+        node, pend, _ = state
+        return jnp.any((node < n_nodes) & (pend < 0))
+
+    def outer_body(state):
+        node, t_best, idx_best, pend = state
+        node, pend, _ = lax.while_loop(
+            inner_cond, inner_body, (node, pend, t_best)
+        )
+        has_leaf = pend >= 0
+        first = jnp.maximum(pend, 0) // 8
+        count = jnp.maximum(pend, 0) % 8
+        # static LEAF_SIZE-way unrolled Möller-Trumbore; one bundled
+        # (p0, e1, e2) gather per slot
         for k in range(LEAF_SIZE):
-            ti = jnp.clip(first + k, 0, n_tris - 1)
+            ti = jnp.clip(first + k, 0, max(n_tris - 1, 0))
             tr = pack.bvh_tris[ti]                      # [N,9]
             ax_, ay_, az_ = tr[:, 0], tr[:, 1], tr[:, 2]
             e1x, e1y, e1z = tr[:, 3], tr[:, 4], tr[:, 5]
@@ -211,7 +232,7 @@ def intersect_bvh(pack, o, d, tmin, tmax) -> KindHit:
             vv = (dx * qx + dy * qy + dz * qz) * inv_det
             tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
             ok = (
-                do_leaf
+                has_leaf
                 & (k < count)
                 & (jnp.abs(det) > 1e-12)
                 & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
@@ -219,18 +240,18 @@ def intersect_bvh(pack, o, d, tmin, tmax) -> KindHit:
             )
             t_best = jnp.where(ok, tt, t_best)
             idx_best = jnp.where(ok, ti.astype(jnp.int32), idx_best)
+        pend = jnp.full_like(pend, -1)
+        return node, t_best, idx_best, pend
 
-        go_deeper = box_hit & ~is_leaf
-        nxt = jnp.where(go_deeper, node + 1, miss_link)
-        node = jnp.where(live, nxt, node)
-        return node, t_best, idx_best
-
-    def cond(state):
-        node, _, _ = state
-        return jnp.any(node < n_nodes)
+    def outer_cond(state):
+        node, _, _, pend = state
+        return jnp.any((node < n_nodes) | (pend >= 0))
 
     node0 = jnp.zeros((n,), jnp.int32)
     t_best0 = jnp.full((n,), jnp.inf, jnp.float32)
     idx0 = jnp.zeros((n,), jnp.int32)
-    _, t_best, idx_best = lax.while_loop(cond, body, (node0, t_best0, idx0))
+    pend0 = jnp.full((n,), -1, jnp.int32)
+    _, t_best, idx_best, _ = lax.while_loop(
+        outer_cond, outer_body, (node0, t_best0, idx0, pend0)
+    )
     return KindHit(t=t_best, index=idx_best, valid=jnp.isfinite(t_best))

@@ -22,6 +22,8 @@ reference: src/integrator.cc:316-403):
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -36,11 +38,40 @@ def wave_key(seed: int, sample_index) -> jax.Array:
     return jax.random.fold_in(jax.random.key(seed), sample_index)
 
 
-def camera_jitter(key: jax.Array, n: int) -> jnp.ndarray:
+def camera_jitter(key: jax.Array, n: int, sampler: str = "random",
+                  sample_index=None, spp: int | None = None) -> jnp.ndarray:
     """In-pixel jitter [n, 2], the analogue of GetCameraSample's
-    (x+u, y+u) offset (reference: src/sampler.h:148-155)."""
+    (x+u, y+u) offset (reference: src/sampler.h:148-155).
+
+    sampler:
+      "random"     — i.i.d. uniforms (reference FRandomSampler)
+      "stratified" — jittered stratification of the pixel over the spp's
+                     ceil(sqrt(spp))^2 grid. The reference declares
+                     FStratifiedSampler but stubs it to random
+                     (reference: src/sampler.h:158-185 'TODO'); this is the
+                     real thing.
+      "debug"      — constant 0.5 (reference FDebugSampler,
+                     src/sampler.h:109-127, minus its missing-return bug)
+    """
     k = jax.random.fold_in(key, PURPOSE_CAMERA)
-    return jax.random.uniform(k, (n, 2), dtype=jnp.float32)
+    if sampler == "debug":
+        return jnp.full((n, 2), 0.5, jnp.float32)
+    u = jax.random.uniform(k, (n, 2), dtype=jnp.float32)
+    if sampler == "stratified":
+        assert spp is not None and sample_index is not None
+        g = int(np.ceil(np.sqrt(spp)))
+        stratum = jnp.asarray(sample_index) % (g * g)
+        sx = (stratum % g).astype(jnp.float32)
+        sy = (stratum // g).astype(jnp.float32)
+        return (jnp.stack([sx, sy], axis=-1) + u) / g
+    return u
+
+
+def debug_path_uniforms(n: int, max_depth: int, n_lights: int) -> jnp.ndarray:
+    """All-0.5 path uniforms — FDebugSampler semantics for the transport
+    streams."""
+    s = 4 + 2 * n_lights
+    return jnp.full((n, max_depth + 1, s), 0.5, jnp.float32)
 
 
 def path_uniforms(key: jax.Array, n: int, max_depth: int, n_lights: int) -> jnp.ndarray:

@@ -70,7 +70,9 @@ def render_resumable(scene, width: int, height: int, spp: int,
 
     for s in range(start, spp):
         key = jax.random.fold_in(rng.wave_key(seed, s), 0)
-        film += np.asarray(wave(scene.pack, cam, ids, key), np.float64)
+        film += np.asarray(
+            wave(scene.pack, cam, ids, key, jnp.int32(s)), np.float64
+        )
         if (s + 1) % checkpoint_every == 0 or s + 1 == spp:
             save_render_state(checkpoint_path, film, s + 1, seed)
 

@@ -1,0 +1,68 @@
+"""End-to-end validation against the reference's committed golden render.
+
+The reference's only test oracle is its two golden images (SURVEY.md §4).
+The cornell golden (cornell_box_scene_1024.jpg, 1024 spp) is compared
+structurally: downsampled, our render must correlate strongly and place the
+red/green walls on the correct sides. Tolerances are loose — the golden was
+rendered at a different effective fov than the reference's own camera code
+produces (see models/camera.py docstring), and the bunny golden uses an
+asset the reference doesn't ship, so only cornell is compared.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from jet_pbrt_tpu.scene.scenes import cornell_box
+from jet_pbrt_tpu.models.render import render
+
+GOLDEN = "/root/reference/cornell_box_scene_1024.jpg"
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="golden not mounted")
+def test_cornell_matches_golden_structure():
+    from PIL import Image
+
+    golden = np.asarray(
+        Image.open(GOLDEN).convert("RGB").resize((32, 32), Image.BILINEAR),
+        np.float32,
+    ) / 255.0
+
+    img = render(cornell_box(), 32, 32, spp=128, seed=0, max_depth=5)
+    ours = np.power(np.clip(img, 0, 1), 1 / 2.2)  # gamma like the golden
+
+    # global correlation over all pixels/channels
+    a = golden.ravel() - golden.mean()
+    b = ours.ravel() - ours.mean()
+    corr = float((a @ b) / np.sqrt((a @ a) * (b @ b)))
+    assert corr > 0.7, corr
+
+    # red wall on screen-left, green wall on screen-right
+    left = ours[8:24, :6].mean((0, 1))
+    right = ours[8:24, -6:].mean((0, 1))
+    assert left[0] > left[1], left     # red dominant
+    assert right[1] > right[0], right  # green dominant
+    gl = golden[8:24, :6].mean((0, 1))
+    gr = golden[8:24, -6:].mean((0, 1))
+    assert gl[0] > gl[1] and gr[1] > gr[0]
+
+    # bright ceiling light visible near top-center in both
+    assert ours[1:5, 12:20].mean() > ours[16:24, 12:20].mean() * 0.8
+
+
+def test_stratified_sampler_lower_variance():
+    """Stratified pixel sampling should not increase variance vs random
+    (smoke check of the sampler plumbing)."""
+    s = cornell_box(lambert_only=True, use_bvh=False)
+    # clamped output bounds the heavy tail of direct emitter hits
+    a = render(s, 12, 12, spp=64, sampler="random", seed=1)
+    b = render(s, 12, 12, spp=64, sampler="stratified", seed=1)
+    # both unbiased — means agree
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.1
+
+
+def test_debug_sampler_deterministic():
+    s = cornell_box(lambert_only=True, use_bvh=False)
+    a = render(s, 8, 8, spp=2, sampler="debug", seed=1, clamp=False)
+    b = render(s, 8, 8, spp=2, sampler="debug", seed=99, clamp=False)
+    np.testing.assert_array_equal(a, b)  # seed-independent by construction
