@@ -70,8 +70,12 @@ def _fetch_bcast(table_ref, row_idx, n_fields):
     onehot = (
         lax.broadcasted_iota(jnp.int32, (128, 128), 0) == lane
     ).astype(jnp.float32)
-    # M[f, j] = cols[f, lane] for every lane j
-    return jnp.dot(cols, onehot, preferred_element_type=jnp.float32)
+    # M[f, j] = cols[f, lane] for every lane j. precision=HIGHEST is
+    # load-bearing: the default MXU matmul rounds f32 operands to bf16,
+    # which corrupts int-valued control fields (e.g. miss link 533 -> 532)
+    # and sends the traversal into a cycle (observed as a device hang).
+    return jnp.dot(cols, onehot, preferred_element_type=jnp.float32,
+                   precision=lax.Precision.HIGHEST)
 
 
 def _kernel(nodes_ref, tris_ref, rays_ref, t_ref, idx_ref, *,
@@ -223,6 +227,9 @@ def intersect_bvh_pallas(nodes_planar, tris_planar, n_nodes, n_tris,
             jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.int32),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(nodes_planar, tris_planar, rays)
 

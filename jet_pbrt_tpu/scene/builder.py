@@ -372,6 +372,8 @@ class SceneBuilder:
             use_bvh = False
             bvh_nodes = np.zeros((0, 8), np.float32)
             bvh_tris = np.zeros((0, 9), np.float32)
+        from ..ops.pallas_bvh import planar_tables
+        bvh_nodes_pl, bvh_tris_pl = planar_tables(bvh_nodes, bvh_tris)
 
         lobe_map = {
             bsdf_ops.MAT_MATTE: (bsdf_ops.LOBE_LAMBERT,),
@@ -403,6 +405,8 @@ class SceneBuilder:
             use_bvh=bool(use_bvh),
             n_tex=n_tex,
             present_lobes=present_lobes,
+            n_bvh_nodes=int(bvh_nodes.shape[0]),
+            n_bvh_tris=int(bvh_tris.shape[0]),
         )
         pack = ScenePack(
             tri_p0=jnp.asarray(tri_p0), tri_p1=jnp.asarray(tri_p1),
@@ -428,6 +432,8 @@ class SceneBuilder:
             world_center=jnp.asarray(center, jnp.float32),
             world_radius=jnp.asarray(radius, jnp.float32),
             bvh_nodes=jnp.asarray(bvh_nodes), bvh_tris=jnp.asarray(bvh_tris),
+            bvh_nodes_pl=jnp.asarray(bvh_nodes_pl),
+            bvh_tris_pl=jnp.asarray(bvh_tris_pl),
         )
         assert self.camera is not None, "scene needs a camera"
         return Scene(meta=meta, pack=pack, camera=self.camera)

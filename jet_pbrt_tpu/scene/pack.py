@@ -64,6 +64,9 @@ class SceneMeta:
     lights: tuple  # tuple[LightMeta, ...]
     use_bvh: bool = False
     n_tex: int = 0
+    # static BVH table sizes (unpadded), for the Pallas packet kernel
+    n_bvh_nodes: int = 0
+    n_bvh_tris: int = 0
     # static set of BSDF lobe kinds the scene's materials can resolve to;
     # None means "all" (bsdf.ALL_LOBES)
     present_lobes: tuple | None = None
@@ -134,6 +137,10 @@ class ScenePack(NamedTuple):
     #   bvh_tris[T', 9] = p0.xyz, e1.xyz, e2.xyz (MT-ready edges)
     bvh_nodes: jnp.ndarray      # [B,8] f32
     bvh_tris: jnp.ndarray       # [T',9] f32
+    # lane-planar mirrors of the BVH tables for the Pallas packet kernel
+    # (ops/pallas_bvh.py): big axis in lanes, 128-padded
+    bvh_nodes_pl: jnp.ndarray   # [8,Bp] f32
+    bvh_tris_pl: jnp.ndarray    # [9,Tp] f32
 
 
 class Hit(NamedTuple):
@@ -148,14 +155,34 @@ class Hit(NamedTuple):
     light_id: jnp.ndarray  # [N] int32, -1 = not an emitter
 
 
+def _want_pallas_bvh(meta: SceneMeta) -> bool:
+    """Use the Pallas packet kernel on real TPUs when the planar tables fit
+    in VMEM; the pure-XLA skip-link walk is the fallback (and the CPU/test
+    path). Decided at trace time — both paths produce identical hits."""
+    import jax
+
+    from ..ops.pallas_bvh import fits_vmem
+
+    if jax.default_backend() in ("cpu",):
+        return False
+    return fits_vmem(meta.n_bvh_nodes, meta.n_bvh_tris)
+
+
 def _kind_hits(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax):
     """Closest hit per shape kind; only kinds present in the scene are
     traced (static dispatch — array sizes are trace-time constants)."""
     hits, kinds = [], []
     if meta.n_tri:
         if meta.use_bvh:
-            from ..ops import bvh as bvh_ops
-            hits.append(bvh_ops.intersect_bvh(pack, o, d, tmin, tmax))
+            if _want_pallas_bvh(meta):
+                from ..ops import pallas_bvh
+                hits.append(pallas_bvh.intersect_bvh_pallas(
+                    pack.bvh_nodes_pl, pack.bvh_tris_pl,
+                    meta.n_bvh_nodes, meta.n_bvh_tris, o, d, tmin, tmax,
+                ))
+            else:
+                from ..ops import bvh as bvh_ops
+                hits.append(bvh_ops.intersect_bvh(pack, o, d, tmin, tmax))
         else:
             hits.append(
                 isect_ops.intersect_triangles(
