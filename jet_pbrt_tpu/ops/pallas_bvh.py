@@ -201,7 +201,10 @@ def intersect_bvh_pallas(nodes_planar, tris_planar, n_nodes, n_tris,
     fields = jnp.stack([
         pad1(o[:, 0], 0.0), pad1(o[:, 1], 0.0), pad1(o[:, 2], 0.0),
         pad1(d[:, 0], 1.0), pad1(d[:, 1], 0.0), pad1(d[:, 2], 0.0),
-        pad1(tmin, 0.0), pad1(tmax, -1.0),      # tmax<tmin => padded rays dead
+        # padded rays are dead: tmin=+inf fails every slab test outright
+        # (t_exit > tmin never holds), so the last tile never descends
+        # subtrees on behalf of padding; tmax=-1 keeps triangle tests off too
+        pad1(tmin, jnp.inf), pad1(tmax, -1.0),
     ])                                           # [8, n_pad]
     rays = fields.reshape(8, n_tiles, TILE_S, TILE_L).swapaxes(0, 1)
 

@@ -357,7 +357,14 @@ class SceneBuilder:
                 new_lights.append((lm, c, p, d))
             self._lights = new_lights
             bvh_bmin, bvh_bmax, bvh_miss, bvh_first, bvh_count = bvh
-            # bundle node/tri tables (see ScenePack docstring)
+            # bundle node/tri tables (see ScenePack docstring). Control
+            # fields ride in f32 lanes; ints are exact in f32 only below
+            # 2^24, so refuse to build a table whose leaf codes would
+            # silently round (~2.1M padded triangles).
+            assert 8 * len(order) + bvh_leaf_size < 2 ** 24, (
+                f"{len(order)} padded triangles overflow the f32 leaf-code "
+                "encoding; split the scene or widen the control fields"
+            )
             leaf_code = np.where(
                 bvh_first >= 0, bvh_first * 8 + bvh_count, -1
             ).astype(np.float32)

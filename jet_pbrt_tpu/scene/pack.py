@@ -163,7 +163,9 @@ def _want_pallas_bvh(meta: SceneMeta) -> bool:
 
     from ..ops.pallas_bvh import fits_vmem
 
-    if jax.default_backend() in ("cpu",):
+    if jax.default_backend() != "tpu":
+        # allowlist: the kernel lowers via Mosaic/pltpu only; any other
+        # accelerator backend (gpu, ...) must take the XLA walk
         return False
     return fits_vmem(meta.n_bvh_nodes, meta.n_bvh_tris)
 
