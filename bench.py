@@ -42,13 +42,13 @@ def main() -> None:
         """One spp wave with donated film accumulator. A Python loop of
         async-dispatched jitted waves pipelines better on this backend than
         lax.scan (measured ~30x; scan serializes against the remote host)."""
-        key = rng.wave_key(0, s)
-        jitter = rng.camera_jitter(key, n)
+        keys = rng.lane_keys(0, s, ids)
+        jitter = rng.camera_jitter(keys)
         x = (ids % width).astype(jnp.float32) + jitter[:, 0]
         y = (ids // width).astype(jnp.float32) + jitter[:, 1]
         o, d = camera_mod.generate_rays(cam, jnp.stack([x, y], axis=-1))
-        u = rng.path_uniforms(key, n, max_depth, meta.n_lights)
-        colors, st = li_path(meta, pack, o, d, u, max_depth, with_stats=True)
+        colors, st = li_path(meta, pack, o, d, keys, max_depth,
+                             with_stats=True)
         return film + colors, rays + st["rays"]
 
     stepj = jax.jit(step, donate_argnums=(0, 1))

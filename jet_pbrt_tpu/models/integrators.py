@@ -40,6 +40,7 @@ from ..ops.linalg import (
     is_black,
     RAY_EPS,
 )
+from ..ops import sort as sort_ops
 from ..ops.sampling import power_heuristic
 from ..scene import pack as scene_pack
 
@@ -47,16 +48,23 @@ _sg = jax.lax.stop_gradient
 
 
 def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
-            nee: bool = True, with_stats: bool = False):
+            nee: bool = True, with_stats: bool = False,
+            sort_rays: bool = False):
     """Iterative path-traced radiance for a ray batch.
 
-    o, d: [N,3] primary rays; u: [N, max_depth+1, S] path uniforms
-    (see ops/rng.py). Returns L [N,3].
+    o, d: [N,3] primary rays; u: per-lane PRNG keys [N] or pregenerated
+    uniforms [N, max_depth+1, S] (see ops/rng.py). Returns L [N,3].
 
     nee=False disables next-event estimation and credits emission at every
     bounce — the plain BSDF-sampling estimator of the same integral. It is
     used by tests as an independent cross-check of the NEE estimator
     (both must converge to the same image).
+
+    sort_rays=True permutes lanes between bounces — dead lanes to the tail,
+    live lanes by (direction octant, origin Morton) — so packet/BVH
+    traversal sees coherent tiles and all-dead tiles exit immediately
+    (ops/sort.py). The estimate is identical either way; it is purely a
+    traversal-throughput knob for large-mesh scenes.
     """
     n = o.shape[0]
     nl = meta.n_lights
@@ -67,14 +75,18 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
     # pdf of the previous BSDF sample, for MIS weighting of emission hits
     prev_pdf = jnp.zeros((n,), jnp.float32)
     ray_o, ray_d = o, d
-    tmin = jnp.full((n,), RAY_EPS, jnp.float32)
-    tmax = jnp.full((n,), jnp.inf, jnp.float32)
+    # original lane of each row, for unsorting the film at the end
+    lane = jnp.arange(n, dtype=jnp.int32)
     # ray-cast accounting for the benchmark: closest-hit casts on live lanes
     # plus shadow casts the estimator needs (an equivalent scalar/CUDA tracer
     # would trace exactly these)
     n_rays = jnp.zeros((), jnp.float32)
 
     for bounce in range(max_depth + 1):
+        # dead lanes trace nothing: tmin=+inf / tmax=-1 fails every slab and
+        # primitive test outright, so the BVH walks drop them in one step
+        tmin = jnp.where(active, RAY_EPS, jnp.inf)
+        tmax = jnp.where(active, jnp.inf, -1.0)
         hit = scene_pack.intersect(meta, pack, ray_o, ray_d, tmin, tmax)
         n_rays = n_rays + jnp.sum(active.astype(jnp.float32))
 
@@ -114,7 +126,7 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
         cont = active & hit.valid
 
         # -- resolve BSDF lobe (reference: src/integrator.cc:348) ----------
-        u_vertex = u[:, bounce, :]
+        u_vertex = rng.vertex_uniforms(u, bounce, nl)
         mat_kind, c0, c1, s0, s1, remap, tex_id = scene_pack.gather_material(
             pack, hit.mat_id
         )
@@ -191,6 +203,25 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
         ray_o = jnp.where(active[:, None], hit.position, ray_o)
         ray_d = jnp.where(active[:, None], wi_world, ray_d)
 
+        if sort_rays:
+            # regroup lanes for the next bounce's traversal (ops/sort.py)
+            world_lo = pack.world_center - pack.world_radius
+            world_inv = 1.0 / jnp.maximum(2.0 * pack.world_radius, 1e-12)
+            skey = sort_ops.ray_sort_key(
+                active, _sg(ray_o), _sg(ray_d), _sg(world_lo),
+                jnp.broadcast_to(_sg(world_inv), (3,)),
+            )
+            perm = jnp.argsort(skey)
+            L, beta, ray_o, ray_d = (
+                x[perm] for x in (L, beta, ray_o, ray_d)
+            )
+            active, prev_specular, prev_pdf, lane, u = (
+                x[perm] for x in (active, prev_specular, prev_pdf, lane, u)
+            )
+
+    if sort_rays:
+        # undo the lane permutation so row i is pixel i again
+        L = jnp.zeros_like(L).at[lane].set(L)
     # invalid-sample guard (reference: src/integrator.cc:104 checks validity)
     L = jnp.where(jnp.isfinite(L), L, 0.0)
     if with_stats:
@@ -222,10 +253,10 @@ def li_whitted(meta, pack, o, d, u, max_depth: int):
     beta = jnp.ones((n, 3), jnp.float32)
     active = jnp.ones((n,), bool)
     ray_o, ray_d = o, d
-    tmin = jnp.full((n,), RAY_EPS, jnp.float32)
-    tmax = jnp.full((n,), jnp.inf, jnp.float32)
 
     for bounce in range(max_depth + 1):
+        tmin = jnp.where(active, RAY_EPS, jnp.inf)
+        tmax = jnp.where(active, jnp.inf, -1.0)
         hit = scene_pack.intersect(meta, pack, ray_o, ray_d, tmin, tmax)
         le_hit = scene_pack.emitted(pack, hit)
         le_env = light_ops.env_radiance(meta, pack, n)
@@ -237,7 +268,7 @@ def li_whitted(meta, pack, o, d, u, max_depth: int):
             break
         cont = active & hit.valid
 
-        u_vertex = u[:, bounce, :]
+        u_vertex = rng.vertex_uniforms(u, bounce, nl)
         mat_kind, c0, c1, s0, s1, remap, tex_id = scene_pack.gather_material(
             pack, hit.mat_id
         )

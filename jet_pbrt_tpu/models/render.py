@@ -24,12 +24,17 @@ from .film import finalize
 
 def _wave_fn(meta, width: int, height: int, max_depth: int,
              integrator: str, mis: bool, nee: bool = True,
-             sampler: str = "random", spp: int | None = None):
-    """Build the jittable one-wave kernel for a fixed scene meta."""
+             sampler: str = "random", spp: int | None = None,
+             seed: int = 0, sort_rays: bool = False):
+    """Build the jittable one-wave kernel for a fixed scene meta.
 
-    def wave(pack, cam, ids, key, sample_index):
+    RNG streams are keyed by (seed, global sample index, global pixel id)
+    only — the image is identical for any pixel chunking or device layout."""
+
+    def wave(pack, cam, ids, sample_index):
         n = ids.shape[0]
-        jitter = rng.camera_jitter(key, n, sampler=sampler,
+        keys = rng.lane_keys(seed, sample_index, ids)
+        jitter = rng.camera_jitter(keys, sampler=sampler,
                                    sample_index=sample_index, spp=spp)
         # pixel + in-pixel jitter (reference: src/sampler.h:148-155)
         x = (ids % width).astype(jnp.float32) + jitter[:, 0]
@@ -40,11 +45,11 @@ def _wave_fn(meta, width: int, height: int, max_depth: int,
         if sampler == "debug":
             u = rng.debug_path_uniforms(n, max_depth, meta.n_lights)
         else:
-            u = rng.path_uniforms(key, n, max_depth, meta.n_lights)
+            u = keys
         if integrator == "whitted":
             return integrators.li_whitted(meta, pack, o, d, u, max_depth)
         return integrators.li_path(meta, pack, o, d, u, max_depth, mis=mis,
-                                   nee=nee)
+                                   nee=nee, sort_rays=sort_rays)
 
     return jax.jit(wave)
 
@@ -52,7 +57,8 @@ def _wave_fn(meta, width: int, height: int, max_depth: int,
 def render(scene, width: int, height: int, spp: int, seed: int = 0,
            max_depth: int = 5, integrator: str = "path", mis: bool = False,
            nee: bool = True, sampler: str = "random",
-           chunk: int | None = None, clamp: bool = True) -> np.ndarray:
+           chunk: int | None = None, clamp: bool = True,
+           sort_rays: bool = False) -> np.ndarray:
     """Full-frame render; returns a linear [H,W,3] numpy image (averaged over
     spp, optionally clamped like the reference's film write,
     reference: src/integrator.cc:108)."""
@@ -64,16 +70,15 @@ def render(scene, width: int, height: int, spp: int, seed: int = 0,
     if chunk is None:
         chunk = min(n_pixels, 1 << 18)
     wave = _wave_fn(scene.meta, width, height, max_depth, integrator, mis,
-                    nee, sampler=sampler, spp=spp)
+                    nee, sampler=sampler, spp=spp, seed=seed,
+                    sort_rays=sort_rays)
 
     accum = np.zeros((n_pixels, 3), np.float64)
     n_waves = 1 if integrator == "debug" else spp
     for s in range(n_waves):
-        base = rng.wave_key(seed, s)
         for c0 in range(0, n_pixels, chunk):
             ids = jnp.arange(c0, min(c0 + chunk, n_pixels), dtype=jnp.int32)
-            key = jax.random.fold_in(base, c0)
-            colors = wave(scene.pack, cam, ids, key, jnp.int32(s))
+            colors = wave(scene.pack, cam, ids, jnp.int32(s))
             accum[c0 : c0 + ids.shape[0]] += np.asarray(colors, np.float64)
 
     img = (accum / n_waves).reshape(height, width, 3).astype(np.float32)
@@ -99,13 +104,12 @@ def render_fn(scene, width: int, height: int, spp: int, seed: int = 0,
     ids = jnp.arange(n_pixels, dtype=jnp.int32)
 
     def one_wave(pack, s):
-        key = rng.wave_key(seed, s)
-        jitter = rng.camera_jitter(key, n_pixels)
+        keys = rng.lane_keys(seed, s, ids)
+        jitter = rng.camera_jitter(keys)
         x = (ids % width).astype(jnp.float32) + jitter[:, 0]
         y = (ids // width).astype(jnp.float32) + jitter[:, 1]
         o, d = camera_mod.generate_rays(cam, jnp.stack([x, y], axis=-1))
-        u = rng.path_uniforms(key, n_pixels, max_depth, meta.n_lights)
-        return integrators.li_path(meta, pack, o, d, u, max_depth, mis=mis)
+        return integrators.li_path(meta, pack, o, d, keys, max_depth, mis=mis)
 
     def fn(pack):
         def step(film, s):

@@ -53,25 +53,21 @@ def build_bvh(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
     return _build_bvh_median(p0, p1, p2, leaf_size)
 
 
-def _build_bvh_median(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
-                      leaf_size: int = LEAF_SIZE):
-    """Median-split BVH over triangles (numpy reference builder).
+def build_box_bvh(bmin_in: np.ndarray, bmax_in: np.ndarray,
+                  leaf_size: int = LEAF_SIZE):
+    """Median-split BVH over arbitrary boxes (numpy builder).
 
     Returns ((bmin[B,3], bmax[B,3], miss[B], leaf_first[B], leaf_count[B]),
-    order[T']) where `order` is the triangle permutation+padding that makes
-    every leaf's triangles contiguous and exactly `leaf_size` long (padding
-    duplicates the leaf's last real triangle — harmless for closest-hit).
+    order[K']) where `order` is the box permutation+padding that makes every
+    leaf's boxes contiguous and exactly `leaf_size` long (padding duplicates
+    the leaf's last real box — harmless for closest-hit).
     leaf_first = -1 marks inner nodes.
-    """
-    assert leaf_size == LEAF_SIZE, "traversal unrolls LEAF_SIZE statically"
-    t = len(p0)
-    tri_bmin = np.minimum(np.minimum(p0, p1), p2).astype(np.float32)
-    tri_bmax = np.maximum(np.maximum(p0, p1), p2).astype(np.float32)
-    # pad degenerate (axis-thin) boxes like CheckThinness
-    # (reference: src/geometry.h:299-304)
-    thin = (tri_bmax - tri_bmin) < 1e-4
-    tri_bmin = np.where(thin, tri_bmin - 1e-4, tri_bmin)
-    tri_bmax = np.where(thin, tri_bmax + 1e-4, tri_bmax)
+
+    Used both for triangle BVHs (via `_build_bvh_median`) and for the TLAS
+    over instance world bounds (scene/builder.py, leaf_size=1)."""
+    tri_bmin = np.asarray(bmin_in, np.float32)
+    tri_bmax = np.asarray(bmax_in, np.float32)
+    t = len(tri_bmin)
     centers = 0.5 * (tri_bmin + tri_bmax)
 
     # pass 1: build the tree as index arrays + subtree node counts
@@ -139,16 +135,50 @@ def _build_bvh_median(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
     return (bmin, bmax, miss, leaf_first, leaf_count), np.asarray(order, np.int64)
 
 
-def intersect_bvh(pack, o, d, tmin, tmax) -> KindHit:
-    """Batched stackless closest-hit traversal over the flattened BVH.
+def _build_bvh_median(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
+                      leaf_size: int = LEAF_SIZE):
+    """Median-split BVH over triangles (numpy reference builder)."""
+    assert leaf_size == LEAF_SIZE, "traversal unrolls LEAF_SIZE statically"
+    tri_bmin = np.minimum(np.minimum(p0, p1), p2).astype(np.float32)
+    tri_bmax = np.maximum(np.maximum(p0, p1), p2).astype(np.float32)
+    # pad degenerate (axis-thin) boxes like CheckThinness
+    # (reference: src/geometry.h:299-304)
+    thin = (tri_bmax - tri_bmin) < 1e-4
+    tri_bmin = np.where(thin, tri_bmin - 1e-4, tri_bmin)
+    tri_bmax = np.where(thin, tri_bmax + 1e-4, tri_bmax)
+    return build_box_bvh(tri_bmin, tri_bmax, leaf_size)
 
-    Replaces the recursive traverse-both-children scheme
+
+def pack_node_table(bvh, order_len: int, leaf_size: int = LEAF_SIZE):
+    """Bundle a builder result into the [B,8] node table the traversals use:
+    bmin.xyz, bmax.xyz, miss-link, leaf-code (first*8+count; -1 for inner
+    nodes). Control fields ride in f32 lanes; ints are exact in f32 only
+    below 2^24, so refuse a table whose leaf codes would silently round."""
+    bmin, bmax, miss, leaf_first, leaf_count = bvh
+    assert 8 * order_len + leaf_size < 2 ** 24, (
+        f"{order_len} padded entries overflow the f32 leaf-code encoding; "
+        "split the scene or widen the control fields"
+    )
+    leaf_code = np.where(
+        leaf_first >= 0, leaf_first * 8 + leaf_count, -1
+    ).astype(np.float32)
+    return np.concatenate(
+        [bmin, bmax, miss[:, None].astype(np.float32), leaf_code[:, None]],
+        axis=1,
+    ).astype(np.float32)
+
+
+def intersect_bvh(nodes, tris, o, d, tmin, tmax) -> KindHit:
+    """Batched stackless closest-hit traversal over a flattened BVH.
+
+    nodes: [B,8] node table (pack_node_table); tris: [T',9] MT-ready
+    (p0, e1, e2) rows. Replaces the recursive traverse-both-children scheme
     (reference: src/bvh.h:94-146) with a skip-link walk; the functional
     `t_best` min-update replaces the reference's mutable ray.max_t shrink.
     """
     n = o.shape[0]
-    n_nodes = pack.bvh_nodes.shape[0]
-    n_tris = pack.bvh_tris.shape[0]
+    n_nodes = nodes.shape[0]
+    n_tris = tris.shape[0]
 
     safe_d = jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
     inv_d = 1.0 / safe_d
@@ -168,7 +198,7 @@ def intersect_bvh(pack, o, d, tmin, tmax) -> KindHit:
         node, pend, t_best = state
         stepping = (node < n_nodes) & (pend < 0)
         nd = jnp.minimum(node, n_nodes - 1)
-        row = pack.bvh_nodes[nd]                       # [N,8]
+        row = nodes[nd]                                # [N,8]
         t0x = (row[:, 0] - ox) * ix
         t0y = (row[:, 1] - oy) * iy
         t0z = (row[:, 2] - oz) * iz
@@ -213,7 +243,7 @@ def intersect_bvh(pack, o, d, tmin, tmax) -> KindHit:
         # (p0, e1, e2) gather per slot
         for k in range(LEAF_SIZE):
             ti = jnp.clip(first + k, 0, max(n_tris - 1, 0))
-            tr = pack.bvh_tris[ti]                      # [N,9]
+            tr = tris[ti]                               # [N,9]
             ax_, ay_, az_ = tr[:, 0], tr[:, 1], tr[:, 2]
             e1x, e1y, e1z = tr[:, 3], tr[:, 4], tr[:, 5]
             e2x, e2y, e2z = tr[:, 6], tr[:, 7], tr[:, 8]
@@ -254,4 +284,40 @@ def intersect_bvh(pack, o, d, tmin, tmax) -> KindHit:
     _, t_best, idx_best, _ = lax.while_loop(
         outer_cond, outer_body, (node0, t_best0, idx0, pend0)
     )
+    return KindHit(t=t_best, index=idx_best, valid=jnp.isfinite(t_best))
+
+
+def intersect_instances(inst_off, inst_scale, blas_nodes, blas_tris,
+                        o, d, tmin, tmax) -> KindHit:
+    """Closest hit over instanced copies of one BLAS (XLA path).
+
+    Two-level acceleration: each instance is (uniform scale, translation) of
+    a shared triangle mesh + BVH — the TPU-native answer to the reference's
+    four separately-loaded bunny copies (reference: src/main.cc:94-107),
+    shrinking the hot node/triangle tables by the instance count. Rays are
+    transformed into instance space (o' = (o-off)/s, d unchanged, t' = t/s)
+    and the winning hit is re-expressed in world units. The per-instance
+    `tmax` shrink carries the best-so-far across instances, so later
+    instances traverse against an already-tight ray interval.
+
+    Returns hit indices encoded as instance * n_blas_tris + triangle.
+    """
+    n_inst = inst_off.shape[0]
+    n_blas_tris = blas_tris.shape[0]
+    n = o.shape[0]
+    t_best = jnp.full((n,), jnp.inf, jnp.float32)
+    idx_best = jnp.zeros((n,), jnp.int32)
+    for i in range(n_inst):
+        off = inst_off[i]
+        s = inst_scale[i]
+        inv = 1.0 / s
+        o_l = (o - off) * inv
+        h = intersect_bvh(blas_nodes, blas_tris, o_l, d,
+                          tmin * inv, jnp.minimum(tmax, t_best) * inv)
+        t_w = h.t * s
+        closer = h.valid & (t_w < t_best)
+        t_best = jnp.where(closer, t_w, t_best)
+        idx_best = jnp.where(
+            closer, i * n_blas_tris + h.index, idx_best
+        )
     return KindHit(t=t_best, index=idx_best, valid=jnp.isfinite(t_best))

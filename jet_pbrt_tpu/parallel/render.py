@@ -30,12 +30,20 @@ from ..ops import rng
 
 
 def build_sharded_render(meta, mesh, width: int, height: int, spp: int,
-                         seed: int = 0, max_depth: int = 5, mis: bool = False):
+                         seed: int = 0, max_depth: int = 5, mis: bool = False,
+                         sampler: str = "random", sort_rays: bool = False):
     """Returns fn(pack, cam) -> [H*W, 3] flat film (averaged over spp),
     jit-compiled over `mesh`.
 
     Requires H*W divisible by mesh.shape['px'] and spp divisible by
     mesh.shape['spp'] (pad spp up at the call site if needed).
+
+    RNG streams are keyed by (seed, global sample index, global pixel id)
+    only — never by the shard layout — so an (8,1) mesh, a (4,2) mesh and
+    the single-chip renderer all produce the same image (the spp-axis psum
+    can reassociate the per-pixel sum, so equality is to float tolerance,
+    not bitwise). The full sampler family (random/stratified/debug) is
+    available, matching the single-chip API.
     """
     n_px_shards = mesh.shape["px"]
     n_spp_shards = mesh.shape["spp"]
@@ -52,20 +60,27 @@ def build_sharded_render(meta, mesh, width: int, height: int, spp: int,
 
         def one_wave(s):
             # global sample index: every (pixel, sample) stream is unique
-            key = rng.wave_key(seed, isp * local_spp + s)
-            key = jax.random.fold_in(key, ip)
-            jitter = rng.camera_jitter(key, local_pixels)
+            s_global = isp * local_spp + s
+            keys = rng.lane_keys(seed, s_global, ids)
+            jitter = rng.camera_jitter(keys, sampler=sampler,
+                                       sample_index=s_global, spp=spp)
             x = (ids % width).astype(jnp.float32) + jitter[:, 0]
             y = (ids // width).astype(jnp.float32) + jitter[:, 1]
             o, d = camera_mod.generate_rays(cam, jnp.stack([x, y], axis=-1))
-            u = rng.path_uniforms(key, local_pixels, max_depth, meta.n_lights)
-            return integrators.li_path(meta, pack, o, d, u, max_depth, mis=mis)
+            if sampler == "debug":
+                u = rng.debug_path_uniforms(local_pixels, max_depth,
+                                            meta.n_lights)
+            else:
+                u = keys
+            return integrators.li_path(meta, pack, o, d, u, max_depth,
+                                       mis=mis, sort_rays=sort_rays)
 
         def step(film, s):
             return film + one_wave(s), None
 
-        film0 = lax.pvary(
-            jnp.zeros((local_pixels, 3), jnp.float32), ("px", "spp")
+        film0 = lax.pcast(
+            jnp.zeros((local_pixels, 3), jnp.float32), ("px", "spp"),
+            to="varying",
         )
         film, _ = lax.scan(step, film0, jnp.arange(local_spp))
         # merge sample-parallel partial films over ICI
@@ -82,7 +97,7 @@ def build_sharded_render(meta, mesh, width: int, height: int, spp: int,
 
 def render_sharded(scene, width: int, height: int, spp: int, mesh,
                    seed: int = 0, max_depth: int = 5, mis: bool = False,
-                   clamp: bool = True):
+                   clamp: bool = True, sampler: str = "random"):
     """Convenience wrapper: full sharded frame as a [H,W,3] array."""
     import numpy as np
 
@@ -91,7 +106,8 @@ def render_sharded(scene, width: int, height: int, spp: int, mesh,
         scene.camera.vfov, (width, height),
     )
     fn = build_sharded_render(scene.meta, mesh, width, height, spp,
-                              seed=seed, max_depth=max_depth, mis=mis)
+                              seed=seed, max_depth=max_depth, mis=mis,
+                              sampler=sampler)
     flat = fn(scene.pack, cam)
     img = np.asarray(flat).reshape(height, width, 3)
     if clamp:

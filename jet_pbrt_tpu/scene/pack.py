@@ -28,6 +28,9 @@ KIND_TRI = 0
 KIND_SPHERE = 1
 KIND_RECT = 2
 KIND_DISK = 3
+KIND_INST = 4  # instanced triangle mesh (two-level BVH; no reference
+               # analogue — the reference re-loads the bunny OBJ per copy,
+               # src/main.cc:94-107)
 
 LIGHT_POINT = 0
 LIGHT_DIRECTIONAL = 1
@@ -70,6 +73,17 @@ class SceneMeta:
     # static set of BSDF lobe kinds the scene's materials can resolve to;
     # None means "all" (bsdf.ALL_LOBES)
     present_lobes: tuple | None = None
+    # instanced-mesh subsystem (two-level BVH): instance count + static
+    # BLAS/TLAS table sizes
+    n_inst: int = 0
+    n_blas_nodes: int = 0
+    n_blas_tris: int = 0
+    n_tlas_nodes: int = 0
+    # whether traversal should take the Pallas packet kernel (decided at
+    # build time: TPU backend + tables fit VMEM; the builder only populates
+    # the matching table layout, so this is also a memory-layout contract)
+    pallas_bvh: bool = False
+    pallas_blas: bool = False
 
     @property
     def n_lights(self) -> int:
@@ -138,9 +152,28 @@ class ScenePack(NamedTuple):
     bvh_nodes: jnp.ndarray      # [B,8] f32
     bvh_tris: jnp.ndarray       # [T',9] f32
     # lane-planar mirrors of the BVH tables for the Pallas packet kernel
-    # (ops/pallas_bvh.py): big axis in lanes, 128-padded
+    # (ops/pallas_bvh.py): big axis in lanes, 128-padded. Exactly ONE of the
+    # row/planar layouts is populated per build (meta.pallas_bvh) — carrying
+    # both would double BVH HBM for big meshes.
     bvh_nodes_pl: jnp.ndarray   # [8,Bp] f32
     bvh_tris_pl: jnp.ndarray    # [9,Tp] f32
+    # instanced-mesh subsystem: ONE shared BLAS (bottom-level BVH over the
+    # mesh in local space) + a per-instance table + a TLAS over instance
+    # world bounds. Instance transform is (uniform scale, translation).
+    blas_nodes: jnp.ndarray     # [Bb,8] f32 (row layout, XLA walk)
+    blas_tris: jnp.ndarray      # [Tb,9] f32
+    blas_nodes_pl: jnp.ndarray  # [8,Bbp] f32 (planar, Pallas packet kernel)
+    blas_tris_pl: jnp.ndarray   # [9,Tbp] f32
+    blas_n: jnp.ndarray         # [Tb,3] local-space face normals
+    blas_uv: jnp.ndarray        # [Tb,3,2] per-vertex texcoords
+    inst_off: jnp.ndarray       # [I,3] world translation
+    inst_scale: jnp.ndarray     # [I] uniform scale
+    inst_mat: jnp.ndarray       # [I] int32 material per instance
+    inst_light: jnp.ndarray     # [I] int32, -1 = not emissive
+    tlas_nodes: jnp.ndarray     # [K,8] top-level skip-link tree; leaf code
+                                #   = instance * 8 + 1
+    tlas_pl: jnp.ndarray        # [8,Kp] planar mirror for the Pallas kernel
+    inst_pl: jnp.ndarray        # [4,Ip] planar (off.xyz, scale) for Pallas
 
 
 class Hit(NamedTuple):
@@ -155,28 +188,17 @@ class Hit(NamedTuple):
     light_id: jnp.ndarray  # [N] int32, -1 = not an emitter
 
 
-def _want_pallas_bvh(meta: SceneMeta) -> bool:
-    """Use the Pallas packet kernel on real TPUs when the planar tables fit
-    in VMEM; the pure-XLA skip-link walk is the fallback (and the CPU/test
-    path). Decided at trace time — both paths produce identical hits."""
-    import jax
-
-    from ..ops.pallas_bvh import fits_vmem
-
-    if jax.default_backend() != "tpu":
-        # allowlist: the kernel lowers via Mosaic/pltpu only; any other
-        # accelerator backend (gpu, ...) must take the XLA walk
-        return False
-    return fits_vmem(meta.n_bvh_nodes, meta.n_bvh_tris)
-
-
 def _kind_hits(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax):
     """Closest hit per shape kind; only kinds present in the scene are
-    traced (static dispatch — array sizes are trace-time constants)."""
+    traced (static dispatch — array sizes are trace-time constants).
+
+    BVH routing is decided at build time (meta.pallas_bvh/pallas_blas: TPU
+    backend + tables fit VMEM -> Pallas packet kernel; otherwise the pure-XLA
+    skip-link walk). Both paths produce identical hits."""
     hits, kinds = [], []
     if meta.n_tri:
         if meta.use_bvh:
-            if _want_pallas_bvh(meta):
+            if meta.pallas_bvh:
                 from ..ops import pallas_bvh
                 hits.append(pallas_bvh.intersect_bvh_pallas(
                     pack.bvh_nodes_pl, pack.bvh_tris_pl,
@@ -184,7 +206,9 @@ def _kind_hits(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax):
                 ))
             else:
                 from ..ops import bvh as bvh_ops
-                hits.append(bvh_ops.intersect_bvh(pack, o, d, tmin, tmax))
+                hits.append(bvh_ops.intersect_bvh(
+                    pack.bvh_nodes, pack.bvh_tris, o, d, tmin, tmax
+                ))
         else:
             hits.append(
                 isect_ops.intersect_triangles(
@@ -192,6 +216,21 @@ def _kind_hits(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax):
                 )
             )
         kinds.append(KIND_TRI)
+    if meta.n_inst:
+        if meta.pallas_blas:
+            from ..ops import pallas_bvh
+            hits.append(pallas_bvh.intersect_instanced_pallas(
+                pack.tlas_pl, pack.blas_nodes_pl, pack.blas_tris_pl,
+                pack.inst_pl, meta.n_tlas_nodes, meta.n_blas_nodes,
+                meta.n_blas_tris, o, d, tmin, tmax,
+            ))
+        else:
+            from ..ops import bvh as bvh_ops
+            hits.append(bvh_ops.intersect_instances(
+                pack.inst_off, pack.inst_scale,
+                pack.blas_nodes, pack.blas_tris, o, d, tmin, tmax,
+            ))
+        kinds.append(KIND_INST)
     if meta.n_sph:
         hits.append(
             isect_ops.intersect_spheres(o, d, tmin, tmax, pack.sph_c, pack.sph_r)
@@ -272,6 +311,50 @@ def intersect(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax,
                     [1.0 - (phi + jnp.pi) / (2.0 * jnp.pi),
                      (theta + jnp.pi / 2.0) / jnp.pi], axis=-1,
                 )
+        elif k == KIND_INST:
+            inst = index // meta.n_blas_tris
+            ti = index % meta.n_blas_tris
+            # bundled per-instance lookup (tiny table -> one-hot contraction)
+            icols = jnp.concatenate(
+                [pack.inst_off, pack.inst_scale[:, None],
+                 pack.inst_mat[:, None].astype(jnp.float32),
+                 pack.inst_light[:, None].astype(jnp.float32)], axis=1,
+            )
+            irows = take_rows(icols, inst)
+            mk = jnp.round(irows[:, 4]).astype(jnp.int32)
+            lk = jnp.round(irows[:, 5]).astype(jnp.int32)
+            if want_uv:
+                bcols = jnp.concatenate(
+                    [pack.blas_n, pack.blas_tris,
+                     pack.blas_uv.reshape(-1, 6)], axis=1,
+                )
+                brows = take_rows(bcols, ti)
+                nk = brows[:, :3]
+                # barycentrics in instance-local space (transform is
+                # conformal, so weights match world space; local is cheaper)
+                p_l = (p - irows[:, :3]) / jnp.maximum(
+                    irows[:, 3], 1e-12
+                )[:, None]
+                a = brows[:, 3:6]
+                v0 = brows[:, 6:9]     # e1 = p1 - p0
+                v1 = brows[:, 9:12]    # e2 = p2 - p0
+                v2 = p_l - a
+                d00 = dot(v0, v0)
+                d01 = dot(v0, v1)
+                d11 = dot(v1, v1)
+                d20 = dot(v2, v0)
+                d21 = dot(v2, v1)
+                denom = jnp.maximum(d00 * d11 - d01 * d01, 1e-18)
+                wb = (d11 * d20 - d01 * d21) / denom
+                wc = (d00 * d21 - d01 * d20) / denom
+                wa = 1.0 - wb - wc
+                uvs = brows[:, 12:].reshape(-1, 3, 2)
+                uvk = (
+                    uvs[:, 0] * wa[:, None] + uvs[:, 1] * wb[:, None]
+                    + uvs[:, 2] * wc[:, None]
+                )
+            else:
+                nk = take_rows(pack.blas_n, ti)
         elif k == KIND_RECT:
             # rect normals face the ray (reference: src/shape.h:427)
             nk, mk, lk = fetch(pack.rect_n, pack.rect_mat, pack.rect_light)

@@ -105,8 +105,16 @@ def cornell_box(lambert_only: bool = False, use_bvh: bool | None = None) -> Scen
     return b.build(use_bvh=use_bvh)
 
 
-def bunny_scene(use_bvh: bool | None = None, bunny_path: str | None = None) -> Scene:
-    """The four-bunny scene (reference: src/main.cc:64-111)."""
+def bunny_scene(use_bvh: bool | None = None, bunny_path: str | None = None,
+                instancing: bool = True) -> Scene:
+    """The four-bunny scene (reference: src/main.cc:64-111).
+
+    instancing=True (default) shares one mesh + BVH across the four copies
+    through the two-level TLAS/BLAS path — 4x smaller hot tables than the
+    reference's four separately-loaded meshes, small enough for the packet
+    kernel's VMEM budget. instancing=False flattens the four copies into one
+    triangle soup + single BVH (the reference's layout), kept for parity
+    tests and experiments."""
     if bunny_path is None:
         bunny_path = os.path.join(ASSET_DIR, "bunny.obj")
     if not os.path.exists(bunny_path):
@@ -140,14 +148,23 @@ def bunny_scene(use_bvh: bool | None = None, bunny_path: str | None = None) -> S
     b.add_rect_xz(-200, 200, -200, 200, 0, green)
 
     # four bunnies, scale 500 with offsets (reference: src/main.cc:94-107)
-    for offset, mat in [
+    placements = [
         ((0, 0, 0), red),
         ((-100, 0, -100), plastic_white),
         ((0, 0, -100), golden),
         ((-100, 0, 0), glass),
-    ]:
-        b.add_mesh(bunny_tris, mat, flip_normal=True, flip_handedness=True,
-                   offset=offset, scale=500.0, uvs=bunny_uvs)
+    ]
+    if instancing:
+        b.add_instanced_mesh(
+            bunny_tris,
+            [(offset, 500.0, mat) for offset, mat in placements],
+            flip_normal=True, flip_handedness=True, uvs=bunny_uvs,
+        )
+    else:
+        for offset, mat in placements:
+            b.add_mesh(bunny_tris, mat, flip_normal=True,
+                       flip_handedness=True, offset=offset, scale=500.0,
+                       uvs=bunny_uvs)
 
     return b.build(use_bvh=use_bvh)
 

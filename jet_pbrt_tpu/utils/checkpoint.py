@@ -45,19 +45,18 @@ def render_resumable(scene, width: int, height: int, spp: int,
     an existing checkpoint file transparently."""
     import os
 
-    import jax
     import jax.numpy as jnp
 
     from ..models.render import _wave_fn
     from ..models import camera as camera_mod
-    from ..ops import rng
 
     cam = camera_mod.make_camera(
         scene.camera.lookfrom, scene.camera.front, scene.camera.vup,
         scene.camera.vfov, (width, height),
     )
     n_pixels = width * height
-    wave = _wave_fn(scene.meta, width, height, max_depth, "path", False)
+    wave = _wave_fn(scene.meta, width, height, max_depth, "path", False,
+                    seed=seed)
     ids = jnp.arange(n_pixels, dtype=jnp.int32)
 
     start = 0
@@ -69,9 +68,8 @@ def render_resumable(scene, width: int, height: int, spp: int,
             film = film_saved.astype(np.float64)
 
     for s in range(start, spp):
-        key = jax.random.fold_in(rng.wave_key(seed, s), 0)
         film += np.asarray(
-            wave(scene.pack, cam, ids, key, jnp.int32(s)), np.float64
+            wave(scene.pack, cam, ids, jnp.int32(s)), np.float64
         )
         if (s + 1) % checkpoint_every == 0 or s + 1 == spp:
             save_render_state(checkpoint_path, film, s + 1, seed)

@@ -1,5 +1,6 @@
-"""Pallas packet-traversal kernel vs the XLA skip-link traversal
-(interpret mode — semantics only; perf characteristics live on real TPUs).
+"""Pallas packet-traversal kernels vs the XLA skip-link traversal
+(interpret mode — semantics only; on-chip behavior is covered by
+tests/test_tpu_kernels.py in the bench environment).
 """
 import numpy as np
 import jax
@@ -7,9 +8,10 @@ import jax.numpy as jnp
 import pytest
 
 from jet_pbrt_tpu.scene.builder import SceneBuilder
-from jet_pbrt_tpu.ops.bvh import intersect_bvh
+from jet_pbrt_tpu.ops.bvh import intersect_bvh, intersect_instances
 from jet_pbrt_tpu.ops.pallas_bvh import (
-    intersect_bvh_pallas, planar_tables, fits_vmem, TILE,
+    intersect_bvh_pallas, intersect_instanced_pallas, planar_tables,
+    fits_vmem, TILE,
 )
 
 
@@ -24,6 +26,26 @@ def mesh_scene():
     m = b.add_matte((0.5, 0.5, 0.5))
     b.add_mesh(tris, m)
     return b.build(use_bvh=True)
+
+
+@pytest.fixture(scope="module")
+def inst_scene():
+    rng = np.random.default_rng(4)
+    t = 500
+    v0 = rng.uniform(-1, 1, (t, 3)).astype(np.float32)
+    tris = np.stack(
+        [v0, v0 + rng.uniform(-0.3, 0.3, (t, 3)),
+         v0 + rng.uniform(-0.3, 0.3, (t, 3))], axis=1,
+    ).astype(np.float32)
+    b = SceneBuilder("inst")
+    b.set_camera(lookfrom=(0, 0, 10), lookat=(0, 0, 0))
+    b.add_env_light((0, 0, 0))
+    m = b.add_matte((0.5, 0.5, 0.5))
+    b.add_instanced_mesh(tris, [
+        ((0, 0, 0), 1.0, m), ((3, 0, 0), 2.0, m),
+        ((0, 4, 0), 0.5, m), ((-3, -1, 2), 1.5, m),
+    ])
+    return b.build()
 
 
 def test_packet_matches_xla_traversal(mesh_scene):
@@ -41,7 +63,7 @@ def test_packet_matches_xla_traversal(mesh_scene):
         pack.bvh_nodes.shape[0], pack.bvh_tris.shape[0],
         o, d, tmin, tmax, interpret=True,
     )
-    h_x = intersect_bvh(pack, o, d, tmin, tmax)
+    h_x = intersect_bvh(pack.bvh_nodes, pack.bvh_tris, o, d, tmin, tmax)
     assert np.array_equal(np.asarray(h_p.valid), np.asarray(h_x.valid))
     assert np.asarray(h_p.valid).sum() > 20
     ok = np.asarray(h_p.valid)
@@ -50,6 +72,50 @@ def test_packet_matches_xla_traversal(mesh_scene):
     )
     assert np.array_equal(
         np.asarray(h_p.index)[ok], np.asarray(h_x.index)[ok]
+    )
+
+
+def test_instanced_packet_matches_xla(inst_scene):
+    """Two-level (TLAS/BLAS) packet kernel == per-instance XLA walk,
+    including the encoded instance*T+tri winning index."""
+    p, m = inst_scene.pack, inst_scene.meta
+    rng = np.random.default_rng(7)
+    n = TILE + 31
+    targets = rng.uniform(-4, 5, (n, 3)).astype(np.float32)
+    o = (np.array([[0.0, 0.0, 10.0]], np.float32)
+         + rng.normal(0, 2, (n, 3)).astype(np.float32))
+    d = targets - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmin = jnp.full((n,), 1e-3)
+    tmax = jnp.full((n,), jnp.inf)
+
+    h_x = intersect_instances(
+        p.inst_off, p.inst_scale, p.blas_nodes, p.blas_tris,
+        jnp.asarray(o), jnp.asarray(d), tmin, tmax,
+    )
+    tlas_pl, inst_pl = planar_tables(
+        np.asarray(p.tlas_nodes),
+        np.concatenate(
+            [np.asarray(p.inst_off), np.asarray(p.inst_scale)[:, None]],
+            axis=1,
+        ),
+    )
+    bn_pl, bt_pl = planar_tables(np.asarray(p.blas_nodes),
+                                 np.asarray(p.blas_tris))
+    h_p = intersect_instanced_pallas(
+        jnp.asarray(tlas_pl), jnp.asarray(bn_pl), jnp.asarray(bt_pl),
+        jnp.asarray(inst_pl), m.n_tlas_nodes, m.n_blas_nodes,
+        m.n_blas_tris, jnp.asarray(o), jnp.asarray(d), tmin, tmax,
+        interpret=True,
+    )
+    va = np.asarray(h_x.valid)
+    assert va.sum() > 50
+    assert np.array_equal(va, np.asarray(h_p.valid))
+    np.testing.assert_allclose(
+        np.asarray(h_p.t)[va], np.asarray(h_x.t)[va], rtol=1e-5, atol=1e-5
+    )
+    assert np.array_equal(
+        np.asarray(h_p.index)[va], np.asarray(h_x.index)[va]
     )
 
 

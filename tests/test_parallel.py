@@ -20,28 +20,49 @@ def test_mesh_shapes():
     assert m2.shape == {"px": 4, "spp": 2}
 
 
-def test_sharded_matches_px_layouts():
-    """Same seed, different mesh layouts -> identical images (the sample
-    index / pixel id streams are layout-independent only along px)."""
+def test_sharded_layout_invariant():
+    """RNG streams are keyed by global (pixel, sample) ids, never the shard
+    layout: every mesh shape renders the SAME image. px-only relayouts are
+    bitwise; spp relayouts reassociate the per-pixel psum, so tolerance."""
     s = cornell_box(lambert_only=True, use_bvh=False)
-    # clamped output bounds the heavy tail of direct emitter hits (L ~ 47)
-    img_a = render_sharded(s, 16, 16, 64, make_mesh(px=8, spp=1), seed=5)
-    img_b = render_sharded(s, 16, 16, 64, make_mesh(px=4, spp=1,
-                                                    devices=jax.devices()[:4]),
-                           seed=5)
-    # px-sharding is pure data parallelism over pixels with per-shard keys —
-    # fold_in(ip) differs between layouts, so compare statistically
-    assert abs(img_a.mean() - img_b.mean()) / img_a.mean() < 0.05
-    assert img_a.shape == img_b.shape == (16, 16, 3)
-    assert np.all(np.isfinite(img_a))
+    img_a = render_sharded(s, 16, 16, 8, make_mesh(px=8, spp=1), seed=5,
+                           clamp=False)
+    img_b = render_sharded(s, 16, 16, 8, make_mesh(px=4, spp=1,
+                                                   devices=jax.devices()[:4]),
+                           seed=5, clamp=False)
+    img_c = render_sharded(s, 16, 16, 8, make_mesh(px=4, spp=2), seed=5,
+                           clamp=False)
+    img_d = render_sharded(s, 16, 16, 8, make_mesh(px=2, spp=4), seed=5,
+                           clamp=False)
+    np.testing.assert_array_equal(img_a, img_b)
+    np.testing.assert_allclose(img_c, img_a, atol=2e-4)
+    np.testing.assert_allclose(img_d, img_a, atol=2e-4)
 
 
-def test_spp_axis_psum_means():
-    """A (4,2) mesh averaging 8 spp equals statistically a (8,1) mesh."""
+def test_sharded_matches_single_chip():
+    """The sharded renderer computes the same estimator with the same
+    streams as the single-chip renderer (difference: f64 vs f32 film
+    accumulation only)."""
+    from jet_pbrt_tpu.models.render import render
+
     s = cornell_box(lambert_only=True, use_bvh=False)
-    img_a = render_sharded(s, 16, 16, 64, make_mesh(px=4, spp=2), seed=6)
-    img_b = render_sharded(s, 16, 16, 64, make_mesh(px=8, spp=1), seed=6)
-    assert abs(img_a.mean() - img_b.mean()) / img_a.mean() < 0.05
+    img_s = render(s, 16, 16, spp=8, seed=5, clamp=False)
+    img_m = render_sharded(s, 16, 16, 8, make_mesh(px=4, spp=2), seed=5,
+                           clamp=False)
+    np.testing.assert_allclose(img_m, img_s, atol=5e-3, rtol=1e-3)
+
+
+def test_sharded_sampler_parity():
+    """stratified/debug samplers work identically through the sharded path
+    (single-chip API parity; reference stubs both, src/sampler.h:109-185)."""
+    from jet_pbrt_tpu.models.render import render
+
+    s = cornell_box(lambert_only=True, use_bvh=False)
+    for sampler in ("stratified", "debug"):
+        img_s = render(s, 8, 8, spp=4, seed=3, clamp=False, sampler=sampler)
+        img_m = render_sharded(s, 8, 8, 4, make_mesh(px=4, spp=2), seed=3,
+                               clamp=False, sampler=sampler)
+        np.testing.assert_allclose(img_m, img_s, atol=5e-3, rtol=1e-3)
 
 
 def test_sharded_grad_fit():
