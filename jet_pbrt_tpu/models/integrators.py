@@ -155,9 +155,9 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
                 & ~is_black(ls.li)
                 & ~is_black(f)
             )
-            # trace shadow rays only where useful is possible; the masked
-            # lanes still traverse (SIMT), but correctness needs the mask.
-            occ = scene_pack.occluded(meta, pack, hit.position, _sg(ls.pos))
+            # useless lanes trace nothing (mask empties their interval)
+            occ = scene_pack.occluded(meta, pack, hit.position, _sg(ls.pos),
+                                      mask=useful)
             n_rays = n_rays + jnp.sum(useful.astype(jnp.float32))
             if mis and not scene_pack.light_is_delta(meta, li_idx):
                 pb = bsdf_ops.pdf(lobe, wo_local, wi_local,
@@ -290,7 +290,8 @@ def li_whitted(meta, pack, o, d, u, max_depth: int):
             f = bsdf_ops.eval_f(lobe, wo_local, wi_local,
                                 lobes=meta.present_lobes)
             useful = cont & ~delta & (_sg(ls.pdf) > 0.0) & ~is_black(ls.li) & ~is_black(f)
-            occ = scene_pack.occluded(meta, pack, hit.position, _sg(ls.pos))
+            occ = scene_pack.occluded(meta, pack, hit.position, _sg(ls.pos),
+                                      mask=useful)
             contrib = beta * f * ls.li * (
                 absdot(_sg(ls.wi), hit.normal) / jnp.maximum(_sg(ls.pdf), 1e-20)
             )[:, None]

@@ -138,7 +138,6 @@ def build_box_bvh(bmin_in: np.ndarray, bmax_in: np.ndarray,
 def _build_bvh_median(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
                       leaf_size: int = LEAF_SIZE):
     """Median-split BVH over triangles (numpy reference builder)."""
-    assert leaf_size == LEAF_SIZE, "traversal unrolls LEAF_SIZE statically"
     tri_bmin = np.minimum(np.minimum(p0, p1), p2).astype(np.float32)
     tri_bmax = np.maximum(np.maximum(p0, p1), p2).astype(np.float32)
     # pad degenerate (axis-thin) boxes like CheckThinness
@@ -151,16 +150,22 @@ def _build_bvh_median(p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
 
 def pack_node_table(bvh, order_len: int, leaf_size: int = LEAF_SIZE):
     """Bundle a builder result into the [B,8] node table the traversals use:
-    bmin.xyz, bmax.xyz, miss-link, leaf-code (first*8+count; -1 for inner
-    nodes). Control fields ride in f32 lanes; ints are exact in f32 only
-    below 2^24, so refuse a table whose leaf codes would silently round."""
+    bmin.xyz, bmax.xyz, miss-link, leaf-code; -1 marks inner nodes.
+
+    Leaf code = leaf_id * 32 + count with leaf_id = leaf_first / leaf_size
+    (leaf_first is always a multiple of leaf_size — leaves are padded
+    contiguous), count <= 31. Control fields ride in f32 lanes; ints are
+    exact in f32 only below 2^24, so refuse a table whose leaf codes would
+    silently round (>= 2^19 leaves)."""
     bmin, bmax, miss, leaf_first, leaf_count = bvh
-    assert 8 * order_len + leaf_size < 2 ** 24, (
-        f"{order_len} padded entries overflow the f32 leaf-code encoding; "
+    assert leaf_size <= 31, "leaf count field is 5 bits"
+    n_leaves = order_len // leaf_size
+    assert 32 * n_leaves + 32 < 2 ** 24, (
+        f"{n_leaves} leaves overflow the f32 leaf-code encoding; "
         "split the scene or widen the control fields"
     )
     leaf_code = np.where(
-        leaf_first >= 0, leaf_first * 8 + leaf_count, -1
+        leaf_first >= 0, (leaf_first // leaf_size) * 32 + leaf_count, -1
     ).astype(np.float32)
     return np.concatenate(
         [bmin, bmax, miss[:, None].astype(np.float32), leaf_code[:, None]],
@@ -168,13 +173,22 @@ def pack_node_table(bvh, order_len: int, leaf_size: int = LEAF_SIZE):
     ).astype(np.float32)
 
 
-def intersect_bvh(nodes, tris, o, d, tmin, tmax) -> KindHit:
+def intersect_bvh(nodes, tris, o, d, tmin, tmax,
+                  leaf_size: int = LEAF_SIZE,
+                  any_hit: bool = False) -> KindHit:
     """Batched stackless closest-hit traversal over a flattened BVH.
 
     nodes: [B,8] node table (pack_node_table); tris: [T',9] MT-ready
     (p0, e1, e2) rows. Replaces the recursive traverse-both-children scheme
     (reference: src/bvh.h:94-146) with a skip-link walk; the functional
     `t_best` min-update replaces the reference's mutable ray.max_t shrink.
+
+    any_hit=True is the occlusion variant: the first accepted triangle hit
+    sets t_best = 0, which fails every subsequent slab interval test — the
+    ray goes inert immediately instead of refining the closest hit. The
+    reference has no dedicated any-hit path (SURVEY.md quirk list: it runs
+    full closest-hit traces for shadows, reference: src/scene.h:36-52);
+    returned t is meaningless (0), only `valid` matters.
     """
     n = o.shape[0]
     n_nodes = nodes.shape[0]
@@ -237,11 +251,11 @@ def intersect_bvh(nodes, tris, o, d, tmin, tmax) -> KindHit:
             inner_cond, inner_body, (node, pend, t_best)
         )
         has_leaf = pend >= 0
-        first = jnp.maximum(pend, 0) // 8
-        count = jnp.maximum(pend, 0) % 8
-        # static LEAF_SIZE-way unrolled Möller-Trumbore; one bundled
+        first = (jnp.maximum(pend, 0) // 32) * leaf_size
+        count = jnp.maximum(pend, 0) % 32
+        # static leaf_size-way unrolled Möller-Trumbore; one bundled
         # (p0, e1, e2) gather per slot
-        for k in range(LEAF_SIZE):
+        for k in range(leaf_size):
             ti = jnp.clip(first + k, 0, max(n_tris - 1, 0))
             tr = tris[ti]                               # [N,9]
             ax_, ay_, az_ = tr[:, 0], tr[:, 1], tr[:, 2]
@@ -268,7 +282,7 @@ def intersect_bvh(nodes, tris, o, d, tmin, tmax) -> KindHit:
                 & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                 & (tt > tmin) & (tt < jnp.minimum(tmax, t_best))
             )
-            t_best = jnp.where(ok, tt, t_best)
+            t_best = jnp.where(ok, 0.0 if any_hit else tt, t_best)
             idx_best = jnp.where(ok, ti.astype(jnp.int32), idx_best)
         pend = jnp.full_like(pend, -1)
         return node, t_best, idx_best, pend
@@ -288,7 +302,9 @@ def intersect_bvh(nodes, tris, o, d, tmin, tmax) -> KindHit:
 
 
 def intersect_instances(inst_off, inst_scale, blas_nodes, blas_tris,
-                        o, d, tmin, tmax) -> KindHit:
+                        o, d, tmin, tmax,
+                        leaf_size: int = LEAF_SIZE,
+                        any_hit: bool = False) -> KindHit:
     """Closest hit over instanced copies of one BLAS (XLA path).
 
     Two-level acceleration: each instance is (uniform scale, translation) of
@@ -313,7 +329,8 @@ def intersect_instances(inst_off, inst_scale, blas_nodes, blas_tris,
         inv = 1.0 / s
         o_l = (o - off) * inv
         h = intersect_bvh(blas_nodes, blas_tris, o_l, d,
-                          tmin * inv, jnp.minimum(tmax, t_best) * inv)
+                          tmin * inv, jnp.minimum(tmax, t_best) * inv,
+                          leaf_size=leaf_size, any_hit=any_hit)
         t_w = h.t * s
         closer = h.valid & (t_w < t_best)
         t_best = jnp.where(closer, t_w, t_best)

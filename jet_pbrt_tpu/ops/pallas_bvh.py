@@ -79,7 +79,7 @@ def _fetch_bcast(table_ref, row_idx, n_fields):
 
 
 def _kernel(nodes_ref, tris_ref, rays_ref, t_ref, idx_ref, *,
-            n_nodes, n_tris):
+            n_nodes, n_tris, leaf_size, occlusion=False):
     """rays_ref: [1, 8, TILE_S, TILE_L] with fields
     (ox, oy, oz, dx, dy, dz, tmin, tmax)."""
     ox = rays_ref[0, 0]
@@ -127,12 +127,12 @@ def _kernel(nodes_ref, tris_ref, rays_ref, t_ref, idx_ref, *,
         miss_link = jnp.max(row1(nb, 6)).astype(jnp.int32)
         leaf_code = jnp.max(row1(nb, 7)).astype(jnp.int32)
         is_leaf = leaf_code >= 0
-        first = jnp.maximum(leaf_code, 0) // 8
-        count = jnp.maximum(leaf_code, 0) % 8
+        first = (jnp.maximum(leaf_code, 0) // 32) * leaf_size
+        count = jnp.maximum(leaf_code, 0) % 32
 
         def do_leaf(carry):
             t_b, i_b = carry
-            for k in range(LEAF_SIZE):
+            for k in range(leaf_size):
                 ti = jnp.minimum(first + k, n_tris - 1)
                 tb = _fetch_bcast(tris_ref, ti, 9)            # [9,128]
                 e2x = row1(tb, 6)
@@ -161,7 +161,7 @@ def _kernel(nodes_ref, tris_ref, rays_ref, t_ref, idx_ref, *,
                     & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                     & (tt > tmin) & (tt < jnp.minimum(tmax, t_b))
                 )
-                t_b = jnp.where(ok, tt, t_b)
+                t_b = jnp.where(ok, 0.0 if occlusion else tt, t_b)
                 i_b = jnp.where(ok, ti, i_b)
             return t_b, i_b
 
@@ -184,7 +184,8 @@ def _kernel(nodes_ref, tris_ref, rays_ref, t_ref, idx_ref, *,
 
 
 def _kernel_inst(tlas_ref, nodes_ref, tris_ref, inst_ref, rays_ref,
-                 t_ref, idx_ref, *, n_tlas, n_nodes, n_tris):
+                 t_ref, idx_ref, *, n_tlas, n_nodes, n_tris, leaf_size,
+                 occlusion=False):
     """Two-level (TLAS -> instance -> BLAS) packet traversal.
 
     Flat state machine: each iteration the tile takes one step in whichever
@@ -243,7 +244,7 @@ def _kernel_inst(tlas_ref, nodes_ref, tris_ref, inst_ref, rays_ref,
             leaf_code = jnp.max(row1(nb, 7)).astype(jnp.int32)
             is_leaf = leaf_code >= 0
             enter = any_hit & is_leaf
-            inst_new = jnp.maximum(leaf_code, 0) // 8
+            inst_new = jnp.maximum(leaf_code, 0) // 32
             ib = _fetch_bcast(inst_ref, inst_new, 4)
             offx = jnp.where(enter, jnp.max(row1(ib, 0)), offx)
             offy = jnp.where(enter, jnp.max(row1(ib, 1)), offy)
@@ -271,12 +272,12 @@ def _kernel_inst(tlas_ref, nodes_ref, tris_ref, inst_ref, rays_ref,
             miss_link = jnp.max(row1(nb, 6)).astype(jnp.int32)
             leaf_code = jnp.max(row1(nb, 7)).astype(jnp.int32)
             is_leaf = leaf_code >= 0
-            first = jnp.maximum(leaf_code, 0) // 8
-            count = jnp.maximum(leaf_code, 0) % 8
+            first = (jnp.maximum(leaf_code, 0) // 32) * leaf_size
+            count = jnp.maximum(leaf_code, 0) % 32
 
             def do_leaf(carry):
                 t_b, i_b = carry
-                for k in range(LEAF_SIZE):
+                for k in range(leaf_size):
                     ti = jnp.minimum(first + k, n_tris - 1)
                     tb = _fetch_bcast(tris_ref, ti, 9)
                     e2x = row1(tb, 6)
@@ -307,7 +308,7 @@ def _kernel_inst(tlas_ref, nodes_ref, tris_ref, inst_ref, rays_ref,
                         & (tt > tmin_l)
                         & (t_w < jnp.minimum(tmax, t_b))
                     )
-                    t_b = jnp.where(ok, t_w, t_b)
+                    t_b = jnp.where(ok, 0.0 if occlusion else t_w, t_b)
                     i_b = jnp.where(ok, inst * n_tris + ti, i_b)
                 return t_b, i_b
 
@@ -358,8 +359,9 @@ def _rays_tiles(o, d, tmin, tmax):
 
 def intersect_instanced_pallas(tlas_planar, nodes_planar, tris_planar,
                                inst_planar, n_tlas, n_nodes, n_tris,
-                               o, d, tmin, tmax,
-                               interpret: bool = False) -> KindHit:
+                               o, d, tmin, tmax, interpret: bool = False,
+                               leaf_size: int = LEAF_SIZE,
+                               any_hit: bool = False) -> KindHit:
     """Two-level instanced packet traversal (see _kernel_inst).
 
     Hit indices are encoded instance * n_tris + triangle, matching
@@ -369,7 +371,8 @@ def intersect_instanced_pallas(tlas_planar, nodes_planar, tris_planar,
     n_tiles = rays.shape[0]
 
     kernel = functools.partial(
-        _kernel_inst, n_tlas=n_tlas, n_nodes=n_nodes, n_tris=n_tris
+        _kernel_inst, n_tlas=n_tlas, n_nodes=n_nodes, n_tris=n_tris,
+        leaf_size=leaf_size, occlusion=any_hit,
     )
     kp = tlas_planar.shape[1]
     bp = nodes_planar.shape[1]
@@ -408,7 +411,9 @@ def intersect_instanced_pallas(tlas_planar, nodes_planar, tris_planar,
 
 
 def intersect_bvh_pallas(nodes_planar, tris_planar, n_nodes, n_tris,
-                         o, d, tmin, tmax, interpret: bool = False) -> KindHit:
+                         o, d, tmin, tmax, interpret: bool = False,
+                         leaf_size: int = LEAF_SIZE,
+                         any_hit: bool = False) -> KindHit:
     """Packet-traversal closest hit.
 
     nodes_planar: [8, Bp], tris_planar: [9, Tp] from `planar_tables`;
@@ -418,7 +423,8 @@ def intersect_bvh_pallas(nodes_planar, tris_planar, n_nodes, n_tris,
     rays = _rays_tiles(o, d, tmin, tmax)
     n_tiles = rays.shape[0]
 
-    kernel = functools.partial(_kernel, n_nodes=n_nodes, n_tris=n_tris)
+    kernel = functools.partial(_kernel, n_nodes=n_nodes, n_tris=n_tris,
+                               leaf_size=leaf_size, occlusion=any_hit)
     bp = nodes_planar.shape[1]
     tp = tris_planar.shape[1]
     t_out, idx_out = pl.pallas_call(

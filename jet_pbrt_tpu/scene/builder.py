@@ -527,6 +527,7 @@ class SceneBuilder:
             n_tlas_nodes=n_tlas_nodes,
             pallas_bvh=pallas_bvh,
             pallas_blas=pallas_blas,
+            bvh_leaf_size=bvh_leaf_size,
         )
         pack = ScenePack(
             tri_p0=jnp.asarray(tri_p0), tri_p1=jnp.asarray(tri_p1),

@@ -84,6 +84,8 @@ class SceneMeta:
     # the matching table layout, so this is also a memory-layout contract)
     pallas_bvh: bool = False
     pallas_blas: bool = False
+    # triangles per BVH leaf (static unroll factor in the traversal kernels)
+    bvh_leaf_size: int = 4
 
     @property
     def n_lights(self) -> int:
@@ -188,13 +190,15 @@ class Hit(NamedTuple):
     light_id: jnp.ndarray  # [N] int32, -1 = not an emitter
 
 
-def _kind_hits(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax):
+def _kind_hits(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax,
+               any_hit: bool = False):
     """Closest hit per shape kind; only kinds present in the scene are
     traced (static dispatch — array sizes are trace-time constants).
 
     BVH routing is decided at build time (meta.pallas_bvh/pallas_blas: TPU
     backend + tables fit VMEM -> Pallas packet kernel; otherwise the pure-XLA
-    skip-link walk). Both paths produce identical hits."""
+    skip-link walk). Both paths produce identical hits. any_hit=True is the
+    occlusion variant: only `valid` is meaningful in the BVH kinds' results."""
     hits, kinds = [], []
     if meta.n_tri:
         if meta.use_bvh:
@@ -203,11 +207,13 @@ def _kind_hits(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax):
                 hits.append(pallas_bvh.intersect_bvh_pallas(
                     pack.bvh_nodes_pl, pack.bvh_tris_pl,
                     meta.n_bvh_nodes, meta.n_bvh_tris, o, d, tmin, tmax,
+                    leaf_size=meta.bvh_leaf_size, any_hit=any_hit,
                 ))
             else:
                 from ..ops import bvh as bvh_ops
                 hits.append(bvh_ops.intersect_bvh(
-                    pack.bvh_nodes, pack.bvh_tris, o, d, tmin, tmax
+                    pack.bvh_nodes, pack.bvh_tris, o, d, tmin, tmax,
+                    leaf_size=meta.bvh_leaf_size, any_hit=any_hit,
                 ))
         else:
             hits.append(
@@ -223,12 +229,14 @@ def _kind_hits(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax):
                 pack.tlas_pl, pack.blas_nodes_pl, pack.blas_tris_pl,
                 pack.inst_pl, meta.n_tlas_nodes, meta.n_blas_nodes,
                 meta.n_blas_tris, o, d, tmin, tmax,
+                leaf_size=meta.bvh_leaf_size, any_hit=any_hit,
             ))
         else:
             from ..ops import bvh as bvh_ops
             hits.append(bvh_ops.intersect_instances(
                 pack.inst_off, pack.inst_scale,
                 pack.blas_nodes, pack.blas_tris, o, d, tmin, tmax,
+                leaf_size=meta.bvh_leaf_size, any_hit=any_hit,
             ))
         kinds.append(KIND_INST)
     if meta.n_sph:
@@ -430,17 +438,27 @@ def _tri_uv(pack: ScenePack, index, p):
     )
 
 
-def occluded(meta: SceneMeta, pack: ScenePack, p_from, p_to) -> jnp.ndarray:
+def occluded(meta: SceneMeta, pack: ScenePack, p_from, p_to,
+             mask=None) -> jnp.ndarray:
     """Visibility between two points, ray range [eps, dist-eps]
     (reference: src/scene.h:36-52). Any hit in range occludes; unlike the
-    reference — which runs a full closest-hit trace — we only need the
-    validity bit, and XLA dead-code-eliminates the attribute work."""
+    reference — which runs a full closest-hit trace — the BVH kinds take a
+    dedicated any-hit walk (first accepted hit parks the ray) and the
+    brute-force kinds only keep the validity bit.
+
+    mask: optional [N] bool; lanes with mask=False trace nothing (their
+    interval is emptied so BVH tiles full of them exit immediately) and
+    report unoccluded."""
     delta = p_to - p_from
     dist = jnp.sqrt(jnp.maximum(dot(delta, delta), 1e-20))
     d = delta / dist[:, None]
     tmin = jnp.full_like(dist, RAY_EPS)
     tmax = dist - RAY_EPS
-    hits, kinds = _kind_hits(meta, pack, p_from, d, tmin, tmax)
+    if mask is not None:
+        tmin = jnp.where(mask, tmin, jnp.inf)
+        tmax = jnp.where(mask, tmax, -1.0)
+    hits, kinds = _kind_hits(meta, pack, p_from, d, tmin, tmax,
+                             any_hit=True)
     if not hits:
         return jnp.zeros(dist.shape, bool)
     occ = hits[0].valid

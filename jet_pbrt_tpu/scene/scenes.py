@@ -106,7 +106,7 @@ def cornell_box(lambert_only: bool = False, use_bvh: bool | None = None) -> Scen
 
 
 def bunny_scene(use_bvh: bool | None = None, bunny_path: str | None = None,
-                instancing: bool = True) -> Scene:
+                instancing: bool = True, bvh_leaf_size: int = 4) -> Scene:
     """The four-bunny scene (reference: src/main.cc:64-111).
 
     instancing=True (default) shares one mesh + BVH across the four copies
@@ -166,7 +166,7 @@ def bunny_scene(use_bvh: bool | None = None, bunny_path: str | None = None,
                        flip_handedness=True, offset=offset, scale=500.0,
                        uvs=bunny_uvs)
 
-    return b.build(use_bvh=use_bvh)
+    return b.build(use_bvh=use_bvh, bvh_leaf_size=bvh_leaf_size)
 
 
 SCENES = {0: cornell_box, 1: bunny_scene}
