@@ -1,9 +1,12 @@
 #!/usr/bin/env python
-"""Benchmark: Cornell-box path tracing throughput on one chip.
+"""Benchmark: path-tracing throughput on one chip, TWO scene classes.
 
-Prints ONE JSON line:
-  {"metric": "rays/s/chip (cornell path tracing)", "value": N,
-   "unit": "rays/s", "vs_baseline": N / 100e6}
+Prints TWO JSON lines:
+  1. cornell box 512^2  (62 tris, brute-force intersection — VPU-bound)
+  2. bunny 1024^2       (4 instanced bunnies, ~66k-tri shared BLAS,
+                         two-level TLAS/BLAS Pallas packet traversal)
+
+Each line: {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N/1e8}
 
 vs_baseline is against the driver-defined north-star target of 100M rays/s
 per chip (BASELINE.md — the reference publishes no numbers). "Rays" counts
@@ -18,25 +21,43 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
+def _morton_ids(width: int) -> np.ndarray:
+    """Pixel ids in 2D Morton order: a 1024-lane ray tile becomes a compact
+    square screen block instead of 4 full scanlines — measurably fewer BVH
+    nodes per packet (ops/pallas_bvh.py)."""
+    xs = np.arange(width, dtype=np.uint32)
 
-def main() -> None:
-    from jet_pbrt_tpu.scene.scenes import cornell_box
+    def spread(v):
+        v = v & 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    gx, gy = np.meshgrid(xs, xs)
+    code = spread(gx) | (spread(gy) << 1)
+    flat = (gy * width + gx).ravel()
+    return flat[np.argsort(code.ravel(), kind="stable")].astype(np.int32)
+
+
+def bench_scene(scene, width: int, n_waves: int, max_depth: int = 5,
+                morton: bool = False, sort_rays: bool = False) -> float:
     from jet_pbrt_tpu.models import camera as camera_mod
     from jet_pbrt_tpu.models.integrators import li_path
     from jet_pbrt_tpu.ops import rng
 
-    width = height = 512
-    max_depth = 5
-    n = width * height
-    scene = cornell_box(lambert_only=False, use_bvh=False)
     meta = scene.meta
+    n = width * width
     cam = camera_mod.make_camera(
         scene.camera.lookfrom, scene.camera.front, scene.camera.vup,
-        scene.camera.vfov, (width, height),
+        scene.camera.vfov, (width, width),
     )
-    ids = jnp.arange(n, dtype=jnp.int32)
+    ids = jnp.asarray(_morton_ids(width) if morton
+                      else np.arange(n, dtype=np.int32))
 
     def step(film, rays, pack, s):
         """One spp wave with donated film accumulator. A Python loop of
@@ -48,7 +69,7 @@ def main() -> None:
         y = (ids // width).astype(jnp.float32) + jitter[:, 1]
         o, d = camera_mod.generate_rays(cam, jnp.stack([x, y], axis=-1))
         colors, st = li_path(meta, pack, o, d, keys, max_depth,
-                             with_stats=True)
+                             with_stats=True, sort_rays=sort_rays)
         return film + colors, rays + st["rays"]
 
     stepj = jax.jit(step, donate_argnums=(0, 1))
@@ -58,7 +79,6 @@ def main() -> None:
     film, rays = stepj(film, rays, scene.pack, jnp.int32(0))
     jax.block_until_ready((film, rays))
 
-    n_waves = 32
     t0 = time.perf_counter()
     for s in range(1, n_waves + 1):
         film, rays = stepj(film, rays, scene.pack, jnp.int32(s))
@@ -66,13 +86,29 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     # rays counter includes the warmup wave; scale it out
-    rays_per_s = float(rays) * (n_waves / (n_waves + 1)) / dt
+    return float(rays) * (n_waves / (n_waves + 1)) / dt
+
+
+def main() -> None:
+    from jet_pbrt_tpu.scene.scenes import cornell_box, bunny_scene
+
+    cornell = cornell_box(lambert_only=False, use_bvh=False)
+    rps = bench_scene(cornell, width=512, n_waves=32)
     print(json.dumps({
         "metric": "rays/s/chip (cornell path tracing)",
-        "value": round(rays_per_s),
+        "value": round(rps),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_s / 100e6, 4),
-    }))
+        "vs_baseline": round(rps / 100e6, 4),
+    }), flush=True)
+
+    bunny = bunny_scene(bvh_leaf_size=16)
+    rps_b = bench_scene(bunny, width=1024, n_waves=4, morton=True)
+    print(json.dumps({
+        "metric": "rays/s/chip (bunny 4x66k-tri instanced BVH path tracing)",
+        "value": round(rps_b),
+        "unit": "rays/s",
+        "vs_baseline": round(rps_b / 100e6, 4),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,50 @@
+"""Multi-host machinery on the single-host 8-virtual-device CPU mesh:
+mesh construction, graceful single-process initialize, and the scaling
+harness (which on virtual devices validates correctness of the machinery —
+real efficiency numbers come from real slices)."""
+import numpy as np
+import jax
+
+from jet_pbrt_tpu.parallel import multihost as MH
+from jet_pbrt_tpu.scene.scenes import cornell_box
+
+
+def test_initialize_single_process_noop():
+    assert MH.initialize() == 1
+
+
+def test_make_multihost_mesh_shapes():
+    m = MH.make_multihost_mesh()          # spp = all local devices
+    assert m.shape == {"px": 1, "spp": 8}
+    m2 = MH.make_multihost_mesh(spp=2)
+    assert m2.shape == {"px": 4, "spp": 2}
+    m3 = MH.make_multihost_mesh(spp=1)
+    assert m3.shape == {"px": 8, "spp": 1}
+    # every device appears exactly once
+    ids = sorted(d.id for d in np.asarray(m2.devices).ravel())
+    assert ids == sorted(d.id for d in jax.devices())
+
+
+def test_multihost_mesh_renders_same_image():
+    """A multihost-shaped mesh produces the same image as the plain mesh
+    (global-id RNG keys make layout irrelevant)."""
+    from jet_pbrt_tpu.parallel.mesh import make_mesh
+    from jet_pbrt_tpu.parallel.render import render_sharded
+
+    s = cornell_box(lambert_only=True, use_bvh=False)
+    img_a = render_sharded(s, 16, 16, 8, MH.make_multihost_mesh(spp=2),
+                           seed=2, clamp=False)
+    img_b = render_sharded(s, 16, 16, 8, make_mesh(px=4, spp=2), seed=2,
+                           clamp=False)
+    np.testing.assert_allclose(img_a, img_b, atol=2e-4)
+
+
+def test_scaling_report_runs():
+    s = cornell_box(lambert_only=True, use_bvh=False)
+    rows = MH.scaling_report(s, 16, 16, spp=4, device_counts=[1, 2, 4],
+                             max_depth=2, n_reps=1)
+    assert [r["devices"] for r in rows] == [1, 2, 4]
+    assert all(r["seconds"] > 0 for r in rows)
+    assert abs(rows[0]["efficiency"] - 1.0) < 1e-6
+    table = MH.format_scaling_table(rows)
+    assert table.count("|") > 10
