@@ -127,12 +127,12 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
 
         # -- resolve BSDF lobe (reference: src/integrator.cc:348) ----------
         u_vertex = rng.vertex_uniforms(u, bounce, nl)
-        mat_kind, c0, c1, s0, s1, remap, tex_id = scene_pack.gather_material(
-            pack, hit.mat_id
-        )
+        mat_kind, c0, c1, s0, s1, remap, tex_id, mf_kind = (
+            scene_pack.gather_material(pack, hit.mat_id))
         c0 = scene_pack.effective_kd(meta, pack, hit, c0, tex_id)
         lobe = bsdf_ops.make_lobe(
-            mat_kind, c0, c1, s0, s1, remap, rng.stream_lobe(u_vertex)
+            mat_kind, c0, c1, s0, s1, remap, rng.stream_lobe(u_vertex),
+            mf_kind=mf_kind,
         )
         delta = bsdf_ops.is_delta(lobe)
         frame = frame_from_z(hit.normal)
@@ -269,12 +269,12 @@ def li_whitted(meta, pack, o, d, u, max_depth: int):
         cont = active & hit.valid
 
         u_vertex = rng.vertex_uniforms(u, bounce, nl)
-        mat_kind, c0, c1, s0, s1, remap, tex_id = scene_pack.gather_material(
-            pack, hit.mat_id
-        )
+        mat_kind, c0, c1, s0, s1, remap, tex_id, mf_kind = (
+            scene_pack.gather_material(pack, hit.mat_id))
         c0 = scene_pack.effective_kd(meta, pack, hit, c0, tex_id)
         lobe = bsdf_ops.make_lobe(
-            mat_kind, c0, c1, s0, s1, remap, rng.stream_lobe(u_vertex)
+            mat_kind, c0, c1, s0, s1, remap, rng.stream_lobe(u_vertex),
+            mf_kind=mf_kind,
         )
         delta = bsdf_ops.is_delta(lobe)
         frame = frame_from_z(hit.normal)

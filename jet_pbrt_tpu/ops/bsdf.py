@@ -39,6 +39,9 @@ MAT_METAL = 4    # -> GGX + conductor Fresnel (reference: src/material.h:113-137
 # (reference: src/bsdf.cc:80-145; SURVEY.md §2 #27). c0=Kr, c1=Kt,
 # s0=roughness, s1=eta.
 MAT_ROUGHGLASS = 5
+# Energy-conserving modified Phong: c0=Ks, s0=exponent
+# (reference: src/bsdf.h:555-631 FPhongSpecularReflection).
+MAT_PHONG = 6
 
 # Lobe kinds (resolved, concrete scattering models).
 LOBE_LAMBERT = 0
@@ -100,12 +103,13 @@ def _same_hemisphere(wo, wi):
     return wo[..., 2] * wi[..., 2] > 0.0
 
 
-def make_lobe(mat_kind, c0, c1, s0, s1, remap, u_lobe) -> Lobe:
+def make_lobe(mat_kind, c0, c1, s0, s1, remap, u_lobe, mf_kind=None) -> Lobe:
     """Resolve per-hit material rows into concrete lobes.
 
     mat_kind [N] int32; c0, c1 [N,3]; s0, s1 [N]; remap [N] bool;
     u_lobe [N] the plastic stochastic-pick uniform
-    (reference: src/material.cc:12-29).
+    (reference: src/material.cc:12-29); mf_kind [N] int32 microfacet
+    distribution per material row (mf.GGX / mf.BECKMANN), GGX if None.
     """
     n = mat_kind.shape[0]
     f32 = jnp.float32
@@ -132,10 +136,11 @@ def make_lobe(mat_kind, c0, c1, s0, s1, remap, u_lobe) -> Lobe:
             mat_kind == MAT_METAL,
             (mat_kind == MAT_ROUGHGLASS) & rough_reflect,
             (mat_kind == MAT_ROUGHGLASS) & ~rough_reflect,
+            mat_kind == MAT_PHONG,
         ],
         [LOBE_LAMBERT, LOBE_SPECULAR, LOBE_FRESNEL, LOBE_LAMBERT,
          LOBE_MICROFACET, LOBE_MICROFACET, LOBE_MICROFACET,
-         LOBE_MICROFACET_TRANS],
+         LOBE_MICROFACET_TRANS, LOBE_PHONG],
         LOBE_LAMBERT,
     ).astype(jnp.int32)
 
@@ -166,6 +171,7 @@ def make_lobe(mat_kind, c0, c1, s0, s1, remap, u_lobe) -> Lobe:
     a0 = jnp.where(mat_kind == MAT_PLASTIC, remapped_s0, a0)        # alpha
     a0 = jnp.where(mat_kind == MAT_METAL, remapped_s0, a0)
     a0 = jnp.where(is_rg, remapped_s0, a0)
+    a0 = jnp.where(mat_kind == MAT_PHONG, s0, a0)                   # exponent
     a1 = jnp.where(mat_kind == MAT_PLASTIC, remapped_s0, 0.0)
     a1 = jnp.where(mat_kind == MAT_METAL, remapped_s1, a1)
     a1 = jnp.where(is_rg, remapped_s0, a1)
@@ -179,7 +185,8 @@ def make_lobe(mat_kind, c0, c1, s0, s1, remap, u_lobe) -> Lobe:
         fr_eta_i=jnp.where(mat_kind == MAT_PLASTIC, 1.5, one),
         # rough glass: dielectric interface (1, eta=s1)
         fr_eta_t=jnp.where(is_rg, jnp.maximum(s1, 1.0001), one),
-        mf_kind=jnp.full((n,), mf.GGX, jnp.int32),
+        mf_kind=(jnp.full((n,), mf.GGX, jnp.int32) if mf_kind is None
+                 else mf_kind.astype(jnp.int32)),
     )
 
 

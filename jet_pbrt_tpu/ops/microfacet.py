@@ -5,15 +5,17 @@ Equivalent of the reference's MicrofacetDistribution hierarchy
 alpha_y); visible-normal (VNDF) sampling is the default, matching the
 reference's samplevis=true (reference: src/microfacet.h:51,70-71).
 
-Design divergence (documented): the reference inverts the slope-space CDF
-numerically (TrowbridgeReitzSample11 / BeckmannSample11 with polynomial fits
-and Newton steps, reference: src/microfacet.cc:11-167, 256-357). For GGX we
-instead use Heitz's 2018 spherical-cap VNDF construction — it samples the
-*same* D_visible distribution (identical pdf) with ~10 flops and no data-
-dependent iteration, which is exactly what the TPU VPU wants. Beckmann keeps
-the analytic full-D sampling path (the reference's samplevis=false branch,
-reference: src/microfacet.cc:212-232); no reference material instantiates
-Beckmann (grep: materials use TrowbridgeReitz only, src/material.cc:26,40).
+Design divergence (documented): for GGX the reference inverts the
+slope-space CDF numerically (TrowbridgeReitzSample11 with polynomial fits
+and Newton steps, reference: src/microfacet.cc:256-357). We instead use
+Heitz's 2018 spherical-cap VNDF construction — it samples the *same*
+D_visible distribution (identical pdf) with ~10 flops and no data-dependent
+iteration, which is exactly what the TPU VPU wants. Beckmann has no such
+closed form, so its VNDF sampler (the reference's default samplevis=true
+branch, reference: src/microfacet.cc:212-254) is the slope-space erf-CDF
+inversion re-done branch-free: the reference's early-exit Newton/bisection
+loop becomes a fixed 10-step vectorized iteration whose converged lanes
+simply keep producing zero-sized updates.
 
 All directions are in the local shading frame (z = normal).
 """
@@ -141,39 +143,93 @@ def _sample_ggx_vndf(wo_up, ax, ay, u):
     return wh
 
 
-def _sample_beckmann_full(ax, ay, u):
-    """Analytic anisotropic full-D Beckmann sampling
-    (reference: src/microfacet.cc:214-232, the samplevis=false branch)."""
-    log_sample = jnp.log(jnp.maximum(1.0 - u[..., 0], 1e-20))
-    # anisotropic phi
-    phi = jnp.arctan(ay / ax * jnp.tan(2.0 * PI * u[..., 1] + 0.5 * PI))
-    phi = jnp.where(u[..., 1] > 0.5, phi + PI, phi)
-    sp, cp = jnp.sin(phi), jnp.cos(phi)
-    tan2 = -log_sample / (cp ** 2 / jnp.maximum(ax ** 2, 1e-12) + sp ** 2 / jnp.maximum(ay ** 2, 1e-12))
-    cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t ** 2))
-    return jnp.stack([sin_t * cp, sin_t * sp, cos_t], axis=-1)
+def _beckmann_slope_sample(cos_theta, u1, u2):
+    """Invert the Beckmann visible-slope CDF: P(slope_x) ∝ ∫ of the erf-CDF
+    of a unit-roughness Beckmann lobe seen from grazing angle acos(cos_theta)
+    (the reference's BeckmannSample11, src/microfacet.cc:234-254 /
+    pbrt-v3). Branch-free: normal-incidence and generic lanes both computed,
+    the reference's early-exit Newton loop unrolled to 10 guarded steps."""
+    from jax.scipy.special import erf, erfinv
+
+    u1 = jnp.clip(u1, 1e-6, 1.0 - 1e-6)
+    u2 = jnp.clip(u2, 1e-6, 1.0 - 1e-6)
+
+    # --- normal-incidence lanes: isotropic Gaussian in slope space
+    r_ni = jnp.sqrt(-jnp.log1p(-u1))
+    sx_ni = r_ni * jnp.cos(2.0 * PI * u2)
+    sy_ni = r_ni * jnp.sin(2.0 * PI * u2)
+
+    # --- generic lanes: 1D Newton/bisection on the marginal slope_x CDF
+    ni = cos_theta > 0.9999
+    cos_safe = jnp.where(ni, 0.5, jnp.clip(cos_theta, -0.9999, 0.9999))
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_safe * cos_safe))
+    tan_t = sin_t / cos_safe
+    cot_t = 1.0 / tan_t
+
+    a = jnp.full_like(u1, -1.0)
+    c = erf(cot_t)
+    theta = jnp.arccos(cos_safe)
+    # cubic fit seeding b near the solution (pbrt-v3 fit)
+    fit = 1.0 + theta * (-0.876 + theta * (0.4265 - 0.0594 * theta))
+    b = c - (1.0 + c) * (1.0 - u1) ** fit
+
+    sqrt_pi_inv = 1.0 / jnp.sqrt(PI)
+    norm = 1.0 / (1.0 + c + sqrt_pi_inv * tan_t * jnp.exp(-cot_t * cot_t))
+    for _ in range(10):
+        b = jnp.where((b >= a) & (b <= c), b, 0.5 * (a + c))
+        inv_erf = erfinv(jnp.clip(b, -1.0 + 1e-7, 1.0 - 1e-7))
+        value = norm * (1.0 + b + sqrt_pi_inv * tan_t * jnp.exp(-inv_erf * inv_erf)) - u1
+        deriv = norm * (1.0 - inv_erf * tan_t)
+        c = jnp.where(value > 0.0, b, c)
+        a = jnp.where(value > 0.0, a, b)
+        step = value / jnp.where(jnp.abs(deriv) > 1e-12, deriv, 1.0)
+        b = b - jnp.where(jnp.abs(value) < 1e-6, 0.0, step)
+    b = jnp.clip(b, -1.0 + 1e-7, 1.0 - 1e-7)
+    sx_g = erfinv(b)
+    sy_g = erfinv(2.0 * u2 - 1.0)
+
+    sx = jnp.where(ni, sx_ni, sx_g)
+    sy = jnp.where(ni, sy_ni, sy_g)
+    return sx, sy
+
+
+def _sample_beckmann_vndf(wo_up, ax, ay, u):
+    """Beckmann visible-normal sample via the stretch / sample / rotate /
+    unstretch slope-space recipe (reference: src/microfacet.cc:212-254,
+    the samplevis=true default; Heitz & d'Eon 2014). wo_up.z >= 0."""
+    w_s = normalize(
+        jnp.stack([ax * wo_up[..., 0], ay * wo_up[..., 1], wo_up[..., 2]],
+                  axis=-1)
+    )
+    _, sin2, cphi, sphi = _trig(w_s)
+    sx, sy = _beckmann_slope_sample(w_s[..., 2], u[..., 0], u[..., 1])
+    # rotate slopes into the azimuth of wo, then unstretch
+    rx = cphi * sx - sphi * sy
+    ry = sphi * sx + cphi * sy
+    return normalize(
+        jnp.stack([-ax * rx, -ay * ry, jnp.ones_like(rx)], axis=-1)
+    )
 
 
 def sample_wh(kind, wo, ax, ay, u):
-    """Sample a half-vector. GGX: VNDF with the hemisphere flip for wo.z<0
-    (reference: src/microfacet.cc:326-357). Beckmann: full-D."""
+    """Sample a visible half-vector (VNDF) for either distribution, with the
+    hemisphere flip for wo.z<0 (reference: src/microfacet.cc:212-254 and
+    326-357, both samplevis=true — the reference's default for every
+    distribution it builds, src/microfacet.h:51,70-71)."""
     flip = wo[..., 2] < 0.0
     wo_up = jnp.where(flip[..., None], -wo, wo)
     wh_ggx = _sample_ggx_vndf(wo_up, ax, ay, u)
-    wh_ggx = jnp.where(flip[..., None], -wh_ggx, wh_ggx)
-    wh_beck = _sample_beckmann_full(ax, ay, u)
-    return jnp.where((kind == GGX)[..., None], wh_ggx, wh_beck)
+    wh_beck = _sample_beckmann_vndf(wo_up, ax, ay, u)
+    wh = jnp.where((kind == GGX)[..., None], wh_ggx, wh_beck)
+    return jnp.where(flip[..., None], -wh, wh)
 
 
 def pdf_wh(kind, wo, wh, ax, ay):
-    """VNDF pdf for GGX, plain D·cosθ for Beckmann
-    (reference: src/microfacet.cc:359-365)."""
-    p_vis = (
+    """Visible-normal pdf D(wh)·G1(wo)·|wo·wh| / |cosθo| for both
+    distributions (reference: src/microfacet.cc:359-365, samplevis=true)."""
+    return (
         d(kind, wh, ax, ay)
         * g1(kind, wo, ax, ay)
         * jnp.abs(dot(wo, wh))
         / jnp.maximum(jnp.abs(wo[..., 2]), 1e-12)
     )
-    p_full = d(kind, wh, ax, ay) * jnp.abs(wh[..., 2])
-    return jnp.where(kind == GGX, p_vis, p_full)

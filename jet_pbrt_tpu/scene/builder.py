@@ -57,7 +57,7 @@ class SceneBuilder:
         self._sph = []      # rows: (c, r, mat, light)
         self._rect = []     # rows: (q[4,3], n, mat, light)
         self._disk = []     # rows: (c, n, r, mat, light)
-        self._mat = []      # rows: (kind, c0, c1, s0, s1, remap, tex)
+        self._mat = []      # rows: (kind, c0, c1, s0, s1, remap, tex, mf)
         self._lights = []   # rows: (LightMeta, c, pos, dir)
         self._tex = []      # rows: (kind, c0, c1, scale, image or None)
         self._inst_mesh = None  # the one shared instanced mesh (local space)
@@ -111,11 +111,19 @@ class SceneBuilder:
 
     # -- materials (reference: src/material.h 5 concrete kinds) -----------
     def _add_mat(self, kind, c0, c1=(0, 0, 0), s0=0.0, s1=0.0, remap=False,
-                 tex: int = -1) -> int:
+                 tex: int = -1, mf: int = 0) -> int:
         self._mat.append((kind, np.asarray(c0, np.float32),
                           np.asarray(c1, np.float32), float(s0), float(s1),
-                          bool(remap), int(tex)))
+                          bool(remap), int(tex), int(mf)))
         return len(self._mat) - 1
+
+    @staticmethod
+    def _mf_kind(distribution: str) -> int:
+        from ..ops import microfacet as mf_mod
+        try:
+            return {"ggx": mf_mod.GGX, "beckmann": mf_mod.BECKMANN}[distribution]
+        except KeyError:
+            raise ValueError(f"unknown microfacet distribution {distribution!r}")
 
     def add_matte(self, color, tex: int = -1) -> int:
         return self._add_mat(bsdf_ops.MAT_MATTE, color, tex=tex)
@@ -127,21 +135,29 @@ class SceneBuilder:
         return self._add_mat(bsdf_ops.MAT_GLASS, kr, kt, eta)
 
     def add_plastic(self, kd, ks, roughness: float, remap: bool = False,
-                    tex: int = -1) -> int:
+                    tex: int = -1, distribution: str = "ggx") -> int:
         return self._add_mat(bsdf_ops.MAT_PLASTIC, kd, ks, roughness,
-                             roughness, remap, tex=tex)
+                             roughness, remap, tex=tex,
+                             mf=self._mf_kind(distribution))
 
     def add_metal(self, eta, k, urough: float, vrough: float,
-                  remap: bool = False) -> int:
-        return self._add_mat(bsdf_ops.MAT_METAL, eta, k, urough, vrough, remap)
+                  remap: bool = False, distribution: str = "ggx") -> int:
+        return self._add_mat(bsdf_ops.MAT_METAL, eta, k, urough, vrough,
+                             remap, mf=self._mf_kind(distribution))
 
     def add_roughglass(self, eta: float, roughness: float, kr=(1, 1, 1),
-                      kt=(1, 1, 1), remap: bool = False) -> int:
+                      kt=(1, 1, 1), remap: bool = False,
+                      distribution: str = "ggx") -> int:
         """Rough dielectric from the reference's FMicrofacetReflection +
         FMicrofacetTransmission pair (the latter is orphaned in the
         reference, reference: src/bsdf.cc:80-145)."""
         return self._add_mat(bsdf_ops.MAT_ROUGHGLASS, kr, kt, roughness,
-                             eta, remap)
+                             eta, remap, mf=self._mf_kind(distribution))
+
+    def add_phong(self, ks, exponent: float) -> int:
+        """Energy-conserving modified Phong specular reflection
+        (reference: src/bsdf.h:555-631 FPhongSpecularReflection)."""
+        return self._add_mat(bsdf_ops.MAT_PHONG, ks, s0=exponent)
 
     # -- shapes ------------------------------------------------------------
     def _add_tri_block(self, tris, mat: int, flip_normal: bool, uvs):
@@ -342,6 +358,7 @@ class SceneBuilder:
         mat_s1 = np.array([m[4] for m in self._mat], np.float32)
         mat_remap = np.array([m[5] for m in self._mat], bool)
         mat_tex = np.array([m[6] for m in self._mat], np.int32)
+        mat_mf = np.array([m[7] for m in self._mat], np.int32)
 
         # texture table: images padded to the max resolution
         n_tex = len(self._tex)
@@ -498,6 +515,7 @@ class SceneBuilder:
             bsdf_ops.MAT_METAL: (bsdf_ops.LOBE_MICROFACET,),
             bsdf_ops.MAT_ROUGHGLASS: (bsdf_ops.LOBE_MICROFACET,
                                       bsdf_ops.LOBE_MICROFACET_TRANS),
+            bsdf_ops.MAT_PHONG: (bsdf_ops.LOBE_PHONG,),
         }
         present_lobes = tuple(sorted({
             lb for m in self._mat for lb in lobe_map[m[0]]
@@ -544,7 +562,7 @@ class SceneBuilder:
             mat_kind=jnp.asarray(mat_kind), mat_c0=jnp.asarray(mat_c0),
             mat_c1=jnp.asarray(mat_c1), mat_s0=jnp.asarray(mat_s0),
             mat_s1=jnp.asarray(mat_s1), mat_remap=jnp.asarray(mat_remap),
-            mat_tex=jnp.asarray(mat_tex),
+            mat_tex=jnp.asarray(mat_tex), mat_mf=jnp.asarray(mat_mf),
             tex_kind=jnp.asarray(tex_kind), tex_c0=jnp.asarray(tex_c0),
             tex_c1=jnp.asarray(tex_c1), tex_scale=jnp.asarray(tex_scale),
             tex_image=jnp.asarray(tex_image), tex_wh=jnp.asarray(tex_wh),

@@ -131,6 +131,7 @@ class ScenePack(NamedTuple):
     mat_s1: jnp.ndarray     # [M]
     mat_remap: jnp.ndarray  # [M] bool
     mat_tex: jnp.ndarray    # [M] int32 texture id for Kd, -1 = none
+    mat_mf: jnp.ndarray     # [M] int32 microfacet kind (mf.GGX/mf.BECKMANN)
     # texture table (ops/texture.py kinds)
     tex_kind: jnp.ndarray   # [K] int32
     tex_c0: jnp.ndarray     # [K,3]
@@ -502,10 +503,10 @@ def light_is_delta(meta: SceneMeta, light_index: int) -> bool:
 
 def gather_material(pack: ScenePack, mat_id):
     """Fetch material rows for a ray batch as
-    (kind, c0, c1, s0, s1, remap, tex).
+    (kind, c0, c1, s0, s1, remap, tex, mf).
 
     One one-hot contraction against the concatenated material table instead
-    of 7 separate gathers — gathers are the single most expensive op in the
+    of 8 separate gathers — gathers are the single most expensive op in the
     TPU shading path (see ops/gather.py)."""
     m = pack.mat_kind.shape[0]
     import jax
@@ -519,9 +520,10 @@ def gather_material(pack: ScenePack, mat_id):
             pack.mat_s1[:, None],
             pack.mat_remap[:, None].astype(jnp.float32),
             pack.mat_tex[:, None].astype(jnp.float32),
+            pack.mat_mf[:, None].astype(jnp.float32),
         ],
         axis=1,
-    )  # [M, 11]
+    )  # [M, 12]
     if m <= 128:
         oh = jax.nn.one_hot(mat_id, m, dtype=jnp.float32)
         rows = oh @ cols
@@ -535,4 +537,5 @@ def gather_material(pack: ScenePack, mat_id):
         rows[:, 8],
         rows[:, 9] > 0.5,
         jnp.round(rows[:, 10]).astype(jnp.int32),
+        jnp.round(rows[:, 11]).astype(jnp.int32),
     )
