@@ -5,7 +5,7 @@ architectural experiment"). XLA programs have static shapes, so paths are
 never physically removed from the wave; instead lanes are *permuted* so that
 
   * dead lanes cluster at the tail — the packet BVH kernel
-    (ops/pallas_bvh.py) walks a tile only while ANY of its rays is live, so
+    (ops/wide_bvh.py) walks a tile only while ANY of its rays is live, so
     an all-dead tile exits after one root test; the XLA skip-link walk
     likewise drains them in one step, and the brute-force shape kernels get
     their hits masked off;

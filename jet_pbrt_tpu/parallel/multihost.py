@@ -23,29 +23,50 @@ import jax
 from jax.sharding import Mesh
 
 
+def _distributed_active() -> bool:
+    """Whether jax.distributed is already initialized (without touching the
+    backend — jax.process_count() would *initialize* the local backend,
+    after which distributed init is a silent single-host no-op)."""
+    try:
+        from jax._src import distributed
+        return distributed.global_state.client is not None
+    except Exception:
+        return False
+
+
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> int:
     """Bring up jax.distributed for a multi-host run; returns process count.
 
-    With no arguments, initializes from the cluster environment when one is
-    present (TPU pod metadata / JAX_COORDINATOR_ADDRESS) and is a no-op on a
-    single-process run — safe to call unconditionally from the CLI."""
+    MUST run before anything touches the backend (jax.devices(),
+    jax.process_count(), any computation) — the CLI calls it first thing.
+    Opt-in is explicit: pass a coordinator address, or set JET_MULTIHOST=1
+    (argument-less auto-config — the path real TPU pods take, where
+    jax.distributed.initialize() reads the pod metadata itself), or export
+    JAX_COORDINATOR_ADDRESS/COORDINATOR_ADDRESS. Anything else is a no-op,
+    so single-host runs are unaffected.
+
+    Successor of the reference's thread-pool Start() (src/parallel.cc:59-66)
+    at the cross-host level."""
     import os
 
-    if jax.process_count() > 1:
-        return jax.process_count()  # already initialized
-    has_env = (
+    opted_in = bool(
         coordinator_address is not None
+        or os.environ.get("JET_MULTIHOST") == "1"
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("COORDINATOR_ADDRESS")
     )
-    if has_env:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    if opted_in and not _distributed_active():
+        if coordinator_address is not None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
+            # argument-less: TPU pods / cluster envs auto-configure
+            jax.distributed.initialize()
     return jax.process_count()
 
 

@@ -462,49 +462,53 @@ class SceneBuilder:
             inst_light = inst_light[torder]
             tlas_nodes = pack_node_table(tlas, len(torder), 1)
 
-        # Populate exactly one BVH table layout: planar for the Pallas
-        # packet kernel (TPU + fits VMEM), row otherwise (XLA skip-link
-        # walk). Carrying both would double BVH HBM (VERDICT r1).
+        # Populate exactly one BVH *node* layout: the 8-wide tables for the
+        # Pallas distance-ordered packet kernel (TPU + fits VMEM), the
+        # binary row tables otherwise (XLA skip-link walk). Carrying both
+        # node layouts would double BVH HBM (VERDICT r1); the row triangle
+        # tables stay either way (the shading path reads them for
+        # barycentrics/normals, and they are small next to the node tables).
         import jax
-        from ..ops.pallas_bvh import fits_vmem, planar_tables
+        from ..ops import wide_bvh as wide
         on_tpu = jax.default_backend() == "tpu"
-        pallas_bvh = bool(
-            use_bvh and on_tpu
-            and fits_vmem(bvh_nodes.shape[0], bvh_tris.shape[0])
-        )
-        pallas_blas = bool(
-            n_inst and on_tpu
-            and fits_vmem(blas_nodes.shape[0] + tlas_nodes.shape[0],
-                          blas_tris.shape[0])
-        )
         n_bvh_nodes = int(bvh_nodes.shape[0])
         n_bvh_tris = int(bvh_tris.shape[0])
         n_blas_nodes = int(blas_nodes.shape[0])
         n_blas_tris = int(blas_tris.shape[0])
         n_tlas_nodes = int(tlas_nodes.shape[0])
-        if pallas_bvh:
-            bvh_nodes_pl, bvh_tris_pl = planar_tables(bvh_nodes, bvh_tris)
-            bvh_nodes = np.zeros((0, 8), np.float32)
-            bvh_tris = np.zeros((0, 9), np.float32)
-        else:
-            bvh_nodes_pl, bvh_tris_pl = planar_tables(
-                np.zeros((0, 8), np.float32), np.zeros((0, 9), np.float32)
-            )
-        if pallas_blas:
-            blas_nodes_pl, blas_tris_pl = planar_tables(blas_nodes, blas_tris)
-            tlas_pl, inst_pl = planar_tables(
-                tlas_nodes,
-                np.concatenate([inst_off, inst_scale[:, None]], axis=1),
-            )
-            blas_nodes = np.zeros((0, 8), np.float32)
-            blas_tris = np.zeros((0, 9), np.float32)
-        else:
-            blas_nodes_pl, blas_tris_pl = planar_tables(
-                np.zeros((0, 8), np.float32), np.zeros((0, 9), np.float32)
-            )
-            tlas_pl, inst_pl = planar_tables(
-                np.zeros((0, 8), np.float32), np.zeros((0, 4), np.float32)
-            )
+
+        def _empty_wide():
+            ident = np.zeros((4,), np.float32)
+            ident[3] = 1.0
+            return (np.zeros((6 * wide.WIDTH, 128), np.float32),
+                    np.zeros((8 * wide.WIDTH,), np.int32),
+                    np.zeros((9, 128), np.float32),
+                    ident)
+
+        bvh_w = _empty_wide()
+        inst_w = _empty_wide()
+        wide_blas_root = 0
+        pallas_bvh = False
+        pallas_blas = False
+        if use_bvh and on_tpu and n_tri:
+            wb, wm, wt, wi, n_w, _root = wide.wide_tables(
+                bvh, bvh_tris, bvh_leaf_size)
+            if wide.fits_vmem(n_w, n_bvh_tris):
+                pallas_bvh = True
+                bvh_w = (wb, wm, wt, wi)
+                # the shading path never reads the soup's row MT table
+                # (unlike blas_tris), so drop both row tables here
+                bvh_nodes = np.zeros((0, 8), np.float32)
+                bvh_tris = np.zeros((0, 9), np.float32)
+        if n_inst and on_tpu:
+            wb, wm, wt, wi, n_w, wide_blas_root = wide.wide_tables_instanced(
+                tlas, blas, blas_tris, inst_off, inst_scale, bvh_leaf_size)
+            if wide.fits_vmem(n_w, n_blas_tris):
+                pallas_blas = True
+                inst_w = (wb, wm, wt, wi)
+                blas_nodes = np.zeros((0, 8), np.float32)
+            else:
+                wide_blas_root = 0
 
         lobe_map = {
             bsdf_ops.MAT_MATTE: (bsdf_ops.LOBE_LAMBERT,),
@@ -545,6 +549,7 @@ class SceneBuilder:
             n_tlas_nodes=n_tlas_nodes,
             pallas_bvh=pallas_bvh,
             pallas_blas=pallas_blas,
+            wide_blas_root=wide_blas_root,
             bvh_leaf_size=bvh_leaf_size,
         )
         pack = ScenePack(
@@ -571,20 +576,22 @@ class SceneBuilder:
             world_center=jnp.asarray(center, jnp.float32),
             world_radius=jnp.asarray(radius, jnp.float32),
             bvh_nodes=jnp.asarray(bvh_nodes), bvh_tris=jnp.asarray(bvh_tris),
-            bvh_nodes_pl=jnp.asarray(bvh_nodes_pl),
-            bvh_tris_pl=jnp.asarray(bvh_tris_pl),
+            bvh_w_bounds=jnp.asarray(bvh_w[0]),
+            bvh_w_meta=jnp.asarray(bvh_w[1]),
+            bvh_w_tris=jnp.asarray(bvh_w[2]),
+            bvh_w_inst=jnp.asarray(bvh_w[3]),
             blas_nodes=jnp.asarray(blas_nodes),
             blas_tris=jnp.asarray(blas_tris),
-            blas_nodes_pl=jnp.asarray(blas_nodes_pl),
-            blas_tris_pl=jnp.asarray(blas_tris_pl),
             blas_n=jnp.asarray(blas_n), blas_uv=jnp.asarray(blas_uv),
             inst_off=jnp.asarray(inst_off),
             inst_scale=jnp.asarray(inst_scale),
             inst_mat=jnp.asarray(inst_mat),
             inst_light=jnp.asarray(inst_light),
             tlas_nodes=jnp.asarray(tlas_nodes),
-            tlas_pl=jnp.asarray(tlas_pl),
-            inst_pl=jnp.asarray(inst_pl),
+            inst_w_bounds=jnp.asarray(inst_w[0]),
+            inst_w_meta=jnp.asarray(inst_w[1]),
+            inst_w_tris=jnp.asarray(inst_w[2]),
+            inst_w_tbl=jnp.asarray(inst_w[3]),
         )
         assert self.camera is not None, "scene needs a camera"
         return Scene(meta=meta, pack=pack, camera=self.camera)

@@ -79,11 +79,15 @@ class SceneMeta:
     n_blas_nodes: int = 0
     n_blas_tris: int = 0
     n_tlas_nodes: int = 0
-    # whether traversal should take the Pallas packet kernel (decided at
-    # build time: TPU backend + tables fit VMEM; the builder only populates
-    # the matching table layout, so this is also a memory-layout contract)
+    # whether traversal should take the Pallas wide packet kernel (decided
+    # at build time: TPU backend + tables fit VMEM; the builder only
+    # populates the matching table layout, so this is also a memory-layout
+    # contract)
     pallas_bvh: bool = False
     pallas_blas: bool = False
+    # node index of the shared-BLAS root inside the merged wide table
+    # (= number of TLAS wide nodes; ops/wide_bvh.py wide_tables_instanced)
+    wide_blas_root: int = 0
     # triangles per BVH leaf (static unroll factor in the traversal kernels)
     bvh_leaf_size: int = 4
 
@@ -154,19 +158,20 @@ class ScenePack(NamedTuple):
     #   bvh_tris[T', 9] = p0.xyz, e1.xyz, e2.xyz (MT-ready edges)
     bvh_nodes: jnp.ndarray      # [B,8] f32
     bvh_tris: jnp.ndarray       # [T',9] f32
-    # lane-planar mirrors of the BVH tables for the Pallas packet kernel
-    # (ops/pallas_bvh.py): big axis in lanes, 128-padded. Exactly ONE of the
-    # row/planar layouts is populated per build (meta.pallas_bvh) — carrying
-    # both would double BVH HBM for big meshes.
-    bvh_nodes_pl: jnp.ndarray   # [8,Bp] f32
-    bvh_tris_pl: jnp.ndarray    # [9,Tp] f32
+    # 8-wide BVH tables for the Pallas distance-ordered packet kernel
+    # (ops/wide_bvh.py): planar bounds with the node axis lane-padded, an
+    # int32 child-meta side table (SMEM), and the lane-planar MT triangle
+    # table. Exactly ONE of the row/wide layouts is populated per build
+    # (meta.pallas_bvh) — carrying both would double BVH HBM for big meshes.
+    bvh_w_bounds: jnp.ndarray   # [48,Np] f32
+    bvh_w_meta: jnp.ndarray     # [Nm*8] i32 flat (SMEM side table)
+    bvh_w_tris: jnp.ndarray     # [9,Tp] f32
+    bvh_w_inst: jnp.ndarray     # [4,128] f32 identity instance row
     # instanced-mesh subsystem: ONE shared BLAS (bottom-level BVH over the
     # mesh in local space) + a per-instance table + a TLAS over instance
     # world bounds. Instance transform is (uniform scale, translation).
     blas_nodes: jnp.ndarray     # [Bb,8] f32 (row layout, XLA walk)
     blas_tris: jnp.ndarray      # [Tb,9] f32
-    blas_nodes_pl: jnp.ndarray  # [8,Bbp] f32 (planar, Pallas packet kernel)
-    blas_tris_pl: jnp.ndarray   # [9,Tbp] f32
     blas_n: jnp.ndarray         # [Tb,3] local-space face normals
     blas_uv: jnp.ndarray        # [Tb,3,2] per-vertex texcoords
     inst_off: jnp.ndarray       # [I,3] world translation
@@ -175,8 +180,11 @@ class ScenePack(NamedTuple):
     inst_light: jnp.ndarray     # [I] int32, -1 = not emissive
     tlas_nodes: jnp.ndarray     # [K,8] top-level skip-link tree; leaf code
                                 #   = instance * 8 + 1
-    tlas_pl: jnp.ndarray        # [8,Kp] planar mirror for the Pallas kernel
-    inst_pl: jnp.ndarray        # [4,Ip] planar (off.xyz, scale) for Pallas
+    # merged TLAS+BLAS 8-wide tables for the Pallas kernel (ops/wide_bvh.py)
+    inst_w_bounds: jnp.ndarray  # [48,Np] f32
+    inst_w_meta: jnp.ndarray    # [Nm*8] i32 flat (SMEM side table)
+    inst_w_tris: jnp.ndarray    # [9,Tp] f32
+    inst_w_tbl: jnp.ndarray     # [4,Ip] f32 (off.xyz, scale)
 
 
 class Hit(NamedTuple):
@@ -204,10 +212,10 @@ def _kind_hits(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax,
     if meta.n_tri:
         if meta.use_bvh:
             if meta.pallas_bvh:
-                from ..ops import pallas_bvh
-                hits.append(pallas_bvh.intersect_bvh_pallas(
-                    pack.bvh_nodes_pl, pack.bvh_tris_pl,
-                    meta.n_bvh_nodes, meta.n_bvh_tris, o, d, tmin, tmax,
+                from ..ops import wide_bvh
+                hits.append(wide_bvh.intersect_wide(
+                    pack.bvh_w_meta, pack.bvh_w_bounds, pack.bvh_w_tris,
+                    pack.bvh_w_inst, meta.n_bvh_tris, o, d, tmin, tmax,
                     leaf_size=meta.bvh_leaf_size, any_hit=any_hit,
                 ))
             else:
@@ -225,12 +233,13 @@ def _kind_hits(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax,
         kinds.append(KIND_TRI)
     if meta.n_inst:
         if meta.pallas_blas:
-            from ..ops import pallas_bvh
-            hits.append(pallas_bvh.intersect_instanced_pallas(
-                pack.tlas_pl, pack.blas_nodes_pl, pack.blas_tris_pl,
-                pack.inst_pl, meta.n_tlas_nodes, meta.n_blas_nodes,
-                meta.n_blas_tris, o, d, tmin, tmax,
-                leaf_size=meta.bvh_leaf_size, any_hit=any_hit,
+            from ..ops import wide_bvh
+            hits.append(wide_bvh.intersect_wide(
+                pack.inst_w_meta, pack.inst_w_bounds, pack.inst_w_tris,
+                pack.inst_w_tbl, meta.n_blas_tris, o, d, tmin, tmax,
+                leaf_size=meta.bvh_leaf_size,
+                blas_root=meta.wide_blas_root, has_inst=True,
+                any_hit=any_hit,
             ))
         else:
             from ..ops import bvh as bvh_ops

@@ -26,14 +26,16 @@ def main():
 
     os.makedirs(OUT, exist_ok=True)
 
-    # cornell: 48x48, 8k spp, maxdepth 5 — 4x the test render's spp, so the
-    # test tolerance is dominated by the test render's own noise.
+    # cornell: 48x48, 32k spp, maxdepth 5 — 64x the test render's spp, so
+    # the test tolerance is dominated by the test render's own noise.
+    # (Backend choice does not matter: TPU and CPU renders of this config
+    # are bit-identical — same threefry decisions, same f32 path.)
     img = np.asarray(
-        render(cornell_box(), 48, 48, spp=8192, seed=1234, max_depth=5)
+        render(cornell_box(), 48, 48, spp=32768, seed=1234, max_depth=5)
     )
     np.savez_compressed(
         os.path.join(OUT, "cornell_self_48.npz"),
-        img=img.astype(np.float32), spp=8192, seed=1234, max_depth=5,
+        img=img.astype(np.float32), spp=32768, seed=1234, max_depth=5,
     )
     print("cornell golden mean", img.mean())
 

@@ -24,6 +24,15 @@ if not ON_CHIP:
 
 import jax  # noqa: E402
 
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy statistical/FD tests — excluded from the fast tier "
+        "(`pytest -m 'not slow'`, <5 min); run the full suite nightly/CI",
+    )
+
+
 if not ON_CHIP:
     jax.config.update("jax_platforms", "cpu")
 

@@ -2,6 +2,7 @@
 differences for albedo and emission; gradient descent recovers parameters
 (BASELINE.json north-star gradient requirements)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -34,12 +35,14 @@ def scalar_render(scene, fields, spp=8, size=8, max_depth=2):
     return f, P.get_params(pack, fields)
 
 
+@pytest.mark.slow
 def test_albedo_gradient_allclose_fd():
     scene = tiny_scene()
     f, params = scalar_render(scene, ("mat_c0",))
     check_grads(f, params, rtol=5e-2, eps=1e-3)
 
 
+@pytest.mark.slow
 def test_emission_gradient_allclose_fd():
     scene = tiny_scene()
     f, params = scalar_render(scene, ("light_c",))
@@ -94,6 +97,7 @@ def textured_scene():
     return b.build(use_bvh=False)
 
 
+@pytest.mark.slow
 def test_roughness_gradient_allclose_fd():
     """BASELINE config #4: roughness gradients FD-verified through the GGX
     D/Lambda terms (src/microfacet.cc math on the autodiff tape)."""
@@ -104,6 +108,7 @@ def test_roughness_gradient_allclose_fd():
     assert abs(float(g["mat_s0"][0])) > 1e-4
 
 
+@pytest.mark.slow
 def test_texel_gradient_allclose_fd():
     """BASELINE config #4: per-texel gradients FD-verified through the
     bilinear texture taps (the capability the reference's dead texture
@@ -115,6 +120,7 @@ def test_texel_gradient_allclose_fd():
     assert float(jnp.abs(g["tex_image"]).sum()) > 1e-4
 
 
+@pytest.mark.slow
 def test_gradient_descent_recovers_roughness():
     """Inverse rendering recovers a scalar roughness (BASELINE config #4
     'roughness grads' end-to-end)."""
@@ -128,6 +134,7 @@ def test_gradient_descent_recovers_roughness():
     assert abs(float(params["mat_s0"][0]) - 0.2) < 0.04
 
 
+@pytest.mark.slow
 def test_gradient_descent_recovers_albedo():
     scene = tiny_scene()
     size, spp = 8, 8
@@ -144,6 +151,7 @@ def test_gradient_descent_recovers_albedo():
     assert np.allclose(got, [0.5, 0.4, 0.3], atol=0.05)
 
 
+@pytest.mark.slow
 def test_cornell_grad_flows():
     """Smoke: gradients exist and are finite on the full cornell scene
     (metal+RR paths included; detached sampling keeps them finite)."""

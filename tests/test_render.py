@@ -13,6 +13,7 @@ from jet_pbrt_tpu.models.render import render
 from jet_pbrt_tpu.ops.linalg import PI
 
 
+@pytest.mark.slow
 def test_furnace_env_only():
     """Camera in empty space sees exactly the env radiance."""
     b = SceneBuilder("furnace")
@@ -44,6 +45,7 @@ def test_direct_lighting_analytic_point_light():
     assert np.all(np.abs(center - expected) / expected < 0.05)
 
 
+@pytest.mark.slow
 def test_nee_vs_brute_estimator_cornell():
     """NEE estimator and pure BSDF-sampling estimator must converge to the
     same image (both unbiased for the same integral)."""
@@ -62,6 +64,7 @@ def test_nee_vs_brute_estimator_cornell():
     assert np.abs(a4 - b4).mean() / a4.mean() < 0.12
 
 
+@pytest.mark.slow
 def test_mis_unbiased_cornell():
     """MIS estimator agrees with the plain NEE estimator in the mean."""
     s = cornell_box(lambert_only=True, use_bvh=False)
@@ -146,6 +149,7 @@ def test_render_deterministic():
     assert np.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_phong_beckmann_scene_end_to_end():
     """Round-2 material kinds through the full integrator: a Phong sphere
     and a Beckmann metal sphere under an area light render finite and lit
