@@ -1,41 +1,56 @@
 """8-wide BVH: host-side collapse + distance-ordered Pallas packet traversal.
 
-Round-3 replacement for the serial skip-link packet kernel (the r2
-`ops/pallas_bvh.py` walked ONE binary node per iteration in pure DFS-preorder
-order, which measured ~1M rays/s on the 66k-tri bunny BLAS — 1% of target).
-The TPU-native fix is to make every iteration do 8x the vector work and
-visit far fewer nodes:
+TPU-native successor of the reference's recursive 2-wide CPU walk
+(reference: src/bvh.h:94-146). A whole ray tile (8x128 = 1024 rays — one VPU
+register of rays) advances in lockstep behind a shared SMEM traversal stack;
+every iteration pops one 8-wide node, slab-tests all 8 children against the
+tile, orders the hit children near-to-far by packet-nearest entry distance,
+and pushes them so the near subtree tightens the packet's best-hit bound
+before the far subtree is visited (stale far entries are skipped on pop).
 
-  * the binary BVH (median or native binned-SAH, ops/bvh.py) is collapsed
-    host-side into 8-wide nodes — each node stores its children's AABBs, so
-    one fetch + 8 slab tests over the whole ray tile replaces 8 fetch/test
-    iterations (reference analogue: the recursive 2-wide walk of
-    src/bvh.h:94-146);
-  * traversal is *distance-ordered*: per popped node the packet slab-tests
-    all 8 children, sorts the hit children by packet-nearest entry distance
-    (scalar sorting network), and pushes them far-to-near onto an SMEM
-    stack, so the near subtree tightens t_best before the far subtree is
-    visited and far entries are skipped on pop when their recorded entry
-    distance already exceeds the packet's best-hit bound;
-  * child bookkeeping (empty/internal/leaf/instance codes) lives in an SMEM
-    int32 side table, read with scalar loads — no f32-encoded control fields
-    and no per-field vector reductions;
-  * two-level scenes (TLAS over instances + one shared BLAS) run in the same
-    kernel: TLAS nodes sit at the front of the table, their leaf children
-    push (BLAS root, instance id) entries, and each pop re-derives the
-    instance-space ray from a tiny instance table fetch. Instance transform
-    is (uniform scale, translation); t/idx bookkeeping stays in world units.
+v2 kernel (round 3) — the round-2 kernel measured ~0.7us per pop, dominated
+by per-pop *fixed* cost (8 serialized vector->scalar min-reductions feeding a
+scalar sorting network, plus 16 serial triangle fetch+test chains per leaf).
+The redesign keeps the traversal strategy but restructures every pop around
+the TPU's strengths:
 
-Data plumbing mirrors ops/pallas_bvh.py's discoveries: tables are planar
-[fields, count] with the big axis lane-padded to 128, node fetches are a
-128-aligned lane slice + one-hot MXU matmul at HIGHEST precision (exact for
-0/1 weights), and [1,128] field rows broadcast over sublanes natively.
+  * leaf-major triangle table [9*leaf_size, n_leaves]: ONE one-hot MXU
+    contraction fetches a whole leaf, and the leaf_size Moller-Trumbore
+    tests become independent vector ops (VLIW-packable) reduced by a
+    min-tree instead of a serial update chain;
+  * child ordering in the *int domain*: each child's packet-nearest entry
+    distance is bitcast to int32 (order-preserving for non-negative floats)
+    with the child slot packed into the low 3 bits, lane-reduced per child,
+    and the 8 packed keys are sorted by a 19-comparator Batcher network of
+    scalar int min/max pairs — no float scalars, no serialized reductions;
+  * node bounds are stored as *conservative bf16* (min rounded down, max
+    up): the node fetch becomes a single-pass bf16 MXU contraction (exact
+    for 0/1 weights) at half the VMEM footprint; the slightly padded boxes
+    only cost ~1% extra descents;
+  * child push bookkeeping is precomputed at build time: the SMEM meta
+    table stores ready-to-push stack-entry templates (instance-override in
+    bits 26+, entry code below), so a push is two scalar loads and a few
+    int ops;
+  * the packet's best-hit bound and the per-entry stack distances live as
+    bitcast int32 scalars — pop-side staleness is one int compare.
+
+Two-level scenes (TLAS over instances + one shared BLAS) run in the same
+kernel: TLAS nodes sit at the front of the table, their leaf children push
+(BLAS root, instance id) entries, and each pop re-derives the instance-space
+ray from a tiny SMEM instance table (uniform scale + translation); t/idx
+bookkeeping stays in world units.
+
+Traversal-order coherence is the other half of the story: incoherent bounce
+waves saturate the tile union (measured 1257 pops/tile on the 66k-tri bunny
+BLAS vs 404 after (direction-octant, origin-Morton) sorting — ops/sort.py),
+so renderers enable sort_rays for BVH scenes.
 """
 from __future__ import annotations
 
 import functools
 
 import numpy as np
+import ml_dtypes
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -45,17 +60,22 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect import KindHit
 
 WIDTH = 8
-# child-meta encoding (int32): 0 = empty; 1..INST_BASE-1 = internal child
-# (index m-1); >= INST_BASE = instance leaf (inst = m - INST_BASE);
-# < 0 = triangle leaf (v = -m-1; first = (v>>5)*leaf_size; count = v & 31)
+# collapse-time child encoding (int32): 0 = empty; 1..INST_BASE-1 = internal
+# child (index m-1); >= INST_BASE = instance leaf (inst = m - INST_BASE);
+# < 0 = triangle leaf (v = -m-1; leaf = v>>5; count = v & 31)
 INST_BASE = 1 << 24
 # stack-entry encoding (int32): (inst+1) << 26 | code;
 # code < LEAF_BIT = internal node index, code >= LEAF_BIT = leaf (code-LEAF_BIT
 # is the tri-leaf v). inst = -1 means world space (TLAS / non-instanced).
 LEAF_BIT = 1 << 25
 ENTRY_MASK = (1 << 26) - 1
+# meta template (int32): (inst_override+1) << 26 | entry code; -1 = empty.
+# A push resolves the instance as (override or inherited) and ORs the code.
 STACK_CAP = 192   # worst case ~7 * tree depth; 8-wide depth <= ~10 for 2^25 tris
 FAR = np.float32(3.0e37)
+FAR_BITS = int(np.float32(FAR).view(np.int32))
+# any packed child key (t-bits & ~7 | slot) of a missed child is >= this
+FAR_KEY_MIN = FAR_BITS & ~7
 
 # ray tile: 8 sublanes x 128 lanes (one VPU register of rays)
 TILE_S, TILE_L = 8, 128
@@ -64,13 +84,24 @@ TILE = TILE_S * TILE_L
 _VMEM_BUDGET = 13 * 1024 * 1024
 _SMEM_BUDGET = 256 * 1024
 
+# Batcher odd-even merge sort network for 8 elements (19 comparators)
+_SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7),
+          (0, 2), (1, 3), (4, 6), (5, 7),
+          (1, 2), (5, 6), (0, 4), (3, 7),
+          (1, 5), (2, 6),
+          (1, 4), (3, 6),
+          (2, 4), (3, 5),
+          (3, 4)]
 
-def fits_vmem(n_wide_nodes: int, n_tris: int) -> bool:
-    """Gate: planar bounds + tris in VMEM, flat meta table in SMEM (SMEM is
-    ~1MB/core and pads the trailing dim of 2-D arrays to 128 lanes, so the
-    meta table is stored 1-D)."""
+
+def fits_vmem(n_wide_nodes: int, n_tris: int, leaf_size: int = 16) -> bool:
+    """Gate: bf16 planar bounds + leaf-major f32 tris in VMEM, flat meta
+    table in SMEM (SMEM is ~1MB/core and pads the trailing dim of 2-D
+    arrays to 128 lanes, so the meta table is stored 1-D)."""
     pad = lambda x: ((max(x, 1) + 127) // 128) * 128
-    vmem = (pad(n_wide_nodes) * (6 * WIDTH) + pad(n_tris) * 9) * 4
+    n_leaves = (n_tris + leaf_size - 1) // leaf_size
+    vmem = (pad(n_wide_nodes) * (6 * WIDTH) * 2
+            + pad(n_leaves) * 9 * leaf_size * 4)
     smem = n_wide_nodes * WIDTH * 4
     return vmem <= _VMEM_BUDGET and smem <= _SMEM_BUDGET
 
@@ -102,10 +133,11 @@ def collapse_wide(bvh, leaf_size: int, leaf_meta=None):
     """Collapse a flattened binary BVH into 8-wide nodes.
 
     leaf_meta(first, count) -> int32 child code; defaults to the triangle
-    leaf encoding. Returns (bounds [N8, WIDTH, 6] f32, meta [N8, WIDTH] i32).
-    Child order within a node is arbitrary — the kernel distance-orders at
-    runtime, so no build-time ordering is needed.
-    """
+    leaf encoding. Returns (bounds [N8, WIDTH, 6] f32, meta [N8, WIDTH] i32
+    in the raw collapse encoding — see module constants). Empty child slots
+    get inverted boxes (min=+FAR, max=-FAR) so they fail every slab test in
+    the vector domain with no scalar bookkeeping. Child order within a node
+    is arbitrary — the kernel distance-orders at runtime."""
     bmin, bmax, miss, leaf_first, leaf_count = bvh
     if leaf_meta is None:
         def leaf_meta(first, count):
@@ -118,12 +150,13 @@ def collapse_wide(bvh, leaf_size: int, leaf_meta=None):
     area = _half_areas(bmin, bmax) if len(bmin) else np.zeros(0)
 
     assert leaf_size <= 31, "leaf count field is 5 bits"
+    empty_box = np.array([FAR, FAR, FAR, -FAR, -FAR, -FAR], np.float32)
     bounds_rows: list[np.ndarray] = []
     meta_rows: list[np.ndarray] = []
     depth_of: list[int] = []
 
     def new_node(depth: int) -> int:
-        bounds_rows.append(np.zeros((WIDTH, 6), np.float32))
+        bounds_rows.append(np.tile(empty_box, (WIDTH, 1)))
         meta_rows.append(np.zeros((WIDTH,), np.int32))
         depth_of.append(depth)
         return len(meta_rows) - 1
@@ -163,25 +196,56 @@ def collapse_wide(bvh, leaf_size: int, leaf_meta=None):
     return np.stack(bounds_rows), np.stack(meta_rows)
 
 
+def _bf16_pad(a: np.ndarray, up: bool) -> np.ndarray:
+    """Conservative bf16: pad by one bf16 ulp's worth of relative slack in
+    the wanted direction, then round-to-nearest — the result provably
+    brackets a (pad 2^-7 rel >= 2x the 2^-8 rel RTN error)."""
+    a = np.asarray(a, np.float32)
+    pad = np.abs(a) * np.float32(2.0 ** -7) + np.float32(1e-30)
+    v = a + pad if up else a - pad
+    return v.astype(ml_dtypes.bfloat16)
+
+
 def _planar_bounds(bounds: np.ndarray) -> np.ndarray:
-    """[N8, WIDTH, 6] -> lane-padded planar [6*WIDTH, Np] (node axis in
-    lanes). Row 6k+a = child k's (lo.xyz, hi.xyz)[a]."""
+    """[N8, WIDTH, 6] f32 -> lane-padded planar conservative-bf16
+    [6*WIDTH, Np] (node axis in lanes). Row 6k+a = child k's
+    (lo.xyz, hi.xyz)[a]."""
     n8 = bounds.shape[0]
-    a = bounds.reshape(n8, WIDTH * 6).T.astype(np.float32)
-    padc = (-a.shape[1]) % 128
-    return np.pad(a, ((0, 0), (0, padc)))
+    lo = _bf16_pad(bounds[:, :, :3], up=False)
+    hi = _bf16_pad(bounds[:, :, 3:], up=True)
+    a = np.concatenate([lo, hi], axis=2)          # [n8, WIDTH, 6]
+    out = np.ascontiguousarray(a.reshape(n8, WIDTH * 6).T)  # [48, n8]
+    padc = (-n8) % 128
+    return np.pad(out, ((0, 0), (0, padc)))
 
 
-def _pad_meta(meta: np.ndarray) -> np.ndarray:
-    """[N8, WIDTH] -> flat [N8*WIDTH] (1-D: SMEM pads 2-D trailing dims to
-    128 lanes, 16x waste)."""
-    return np.ascontiguousarray(meta.reshape(-1))
+def _templates(meta: np.ndarray, blas_root: int) -> np.ndarray:
+    """Raw collapse meta [N8, WIDTH] -> flat push templates [N8*WIDTH] i32:
+    (inst_override+1) << 26 | entry code; -1 for empty slots. 1-D because
+    SMEM pads 2-D trailing dims to 128 lanes (16x waste)."""
+    m = meta.astype(np.int64)
+    is_int = (m > 0) & (m < INST_BASE)
+    is_ins = m >= INST_BASE
+    is_tri = m < 0
+    ecode = np.where(is_int, m - 1,
+                     np.where(is_ins, blas_root, (LEAF_BIT + (-m - 1))))
+    ov = np.where(is_ins, m - INST_BASE + 1, 0)
+    assert ov.max(initial=0) < 32, "instance override field is 5 bits"
+    tmpl = np.where(m == 0, -1, (ov << 26) | ecode)
+    return np.ascontiguousarray(tmpl.reshape(-1).astype(np.int32))
 
 
-def _planar_tris(tris: np.ndarray) -> np.ndarray:
-    """[T,9] MT rows -> planar [9, Tp]."""
-    a = np.asarray(tris, np.float32).T
-    padc = (-a.shape[1]) % 128
+def _leaf_major_tris(tris: np.ndarray, leaf_size: int) -> np.ndarray:
+    """[T,9] Moller-Trumbore rows (p0, e1, e2) -> leaf-major planar
+    [9*leaf_size, n_leaves_padded]: lane = leaf, sublane-row slot*9+f. One
+    one-hot contraction fetches a whole leaf. Padding tris are all-zero
+    (det = 0 -> never hit)."""
+    a = np.asarray(tris, np.float32)
+    t = a.shape[0]
+    n_leaves = max((t + leaf_size - 1) // leaf_size, 1)
+    a = np.pad(a, ((0, n_leaves * leaf_size - t), (0, 0)))
+    a = a.reshape(n_leaves, leaf_size * 9).T
+    padc = (-n_leaves) % 128
     return np.pad(a, ((0, 0), (0, padc)))
 
 
@@ -199,10 +263,12 @@ def _flat_inst(inst_off, inst_scale):
 
 
 def wide_tables(bvh, tris, leaf_size: int):
-    """Single-level tables: (bounds_pl [48,Np], meta flat [Nm*8] i32,
-    tris_pl [9,Tp], inst flat [4] identity, n_wide, blas_root=0)."""
+    """Single-level tables: (bounds_pl bf16 [48,Np], templates flat i32,
+    tris leaf-major f32 [9*leaf,Lp], inst flat [4] identity, n_wide,
+    blas_root=0)."""
     bounds, meta = collapse_wide(bvh, leaf_size)
-    return (_planar_bounds(bounds), _pad_meta(meta), _planar_tris(tris),
+    return (_planar_bounds(bounds), _templates(meta, 0),
+            _leaf_major_tris(tris, leaf_size),
             _flat_inst(np.zeros((0, 3), np.float32), np.zeros(0, np.float32)),
             bounds.shape[0], 0)
 
@@ -226,23 +292,14 @@ def wide_tables_instanced(tlas_bvh, blas_bvh, tris, inst_off, inst_scale,
     bm = np.where(np.logical_and(bm > 0, bm < INST_BASE), bm + n_tlas, bm)
     bounds = np.concatenate([tb, bb])
     meta = np.concatenate([tm, bm])
-    return (_planar_bounds(bounds), _pad_meta(meta), _planar_tris(tris),
-            _flat_inst(inst_off, inst_scale), bounds.shape[0], n_tlas)
+    return (_planar_bounds(bounds), _templates(meta, n_tlas),
+            _leaf_major_tris(tris, leaf_size), _flat_inst(inst_off, inst_scale),
+            bounds.shape[0], n_tlas)
 
 
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
-
-# Batcher odd-even merge sort network for 8 elements (19 comparators)
-_SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7),
-          (0, 2), (1, 3), (4, 6), (5, 7),
-          (1, 2), (5, 6), (0, 4), (3, 7),
-          (1, 5), (2, 6),
-          (1, 4), (3, 6),
-          (2, 4), (3, 5),
-          (3, 4)]
-
 
 def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
                  t_ref, idx_ref, *refs,
@@ -251,11 +308,11 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
     """One ray tile [TILE_S, TILE_L] walks the wide BVH behind a shared SMEM
     stack. rays_ref fields: ox oy oz dx dy dz tmin tmax.
 
-    Per-pop bookkeeping is all-scalar: the child meta and the instance
-    (off, scale) come from SMEM scalar loads, and the packet's best-hit
-    bound is a carried scalar refreshed only when a leaf tightens t_best —
-    the only per-pop vector-to-scalar reductions left are the 8 per-child
-    packet-nearest distances."""
+    All scalar bookkeeping is int32: per-child packet-nearest distances are
+    bitcast-packed (t-bits | slot) and lane-reduced in the vector domain,
+    sorted by a scalar int Batcher network, and pushed with their template
+    codes; the carried best-hit bound is the bitcast int of the packet max
+    cap, refreshed only when a leaf tightens it."""
     if with_stats:
         stats_ref, stack_ref, tstack_ref = refs
     else:
@@ -278,15 +335,25 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
         return m[k:k + 1, :]
 
     def fetch(table_ref, row_idx):
+        """Replicated-column one-hot contraction: returns the row_idx'th
+        lane of the planar table broadcast across all 128 lanes. bf16
+        tables take the single-pass MXU path (exact for 0/1 weights); f32
+        tables use HIGHEST (exact)."""
         blk = pl.multiple_of((row_idx // 128) * 128, 128)
         cols = table_ref[:, pl.ds(blk, 128)]
+        if cols.dtype == jnp.bfloat16:
+            onehot = (iota_lane == row_idx % 128).astype(jnp.bfloat16)
+            return jnp.dot(cols, onehot, preferred_element_type=jnp.float32)
         onehot = (iota_lane == row_idx % 128).astype(jnp.float32)
         return jnp.dot(cols, onehot, preferred_element_type=jnp.float32,
                        precision=lax.Precision.HIGHEST)
 
+    def bits(x):
+        return lax.bitcast_convert_type(x, jnp.int32)
+
     # root entry: node 0, world space (inst = -1 -> tag 0)
     stack_ref[0] = jnp.int32(0)
-    tstack_ref[0] = jnp.float32(0.0)
+    tstack_ref[0] = jnp.int32(0)
 
     def body(carry):
         if with_stats:
@@ -324,9 +391,10 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
             else:
                 sp_c, bnd, tb, ibst = c
                 ni = nl = jnp.int32(0)
-            capl = jnp.minimum(tmax, tb) * (inv if has_inst else 1.0)
-            nb = fetch(bounds_ref, code)                     # [48,128]
-            tns = []
+            cap = jnp.minimum(tmax, tb)
+            capl = cap * (inv if has_inst else 1.0)
+            nb = fetch(bounds_ref, code)                     # [48,128] f32
+            cols = []
             for k in range(WIDTH):
                 t0x = (row1(nb, 6 * k + 0) - oxl) * ix
                 t0y = (row1(nb, 6 * k + 1) - oyl) * iy
@@ -343,44 +411,38 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
                     jnp.maximum(t0z, t1z),
                 )
                 hit = (t_en <= t_ex) & (t_ex > tminl) & (t_en < capl)
-                # packet-nearest entry in WORLD units; FAR = no ray hits
-                tns.append(jnp.min(
-                    jnp.where(hit, jnp.maximum(t_en, 0.0) * scl, FAR)
-                ))
-            # child codes -> stack entries (scalar SMEM reads)
-            ts = []
-            es = []
-            for k in range(WIDTH):
-                m = meta_ref[code * WIDTH + k]
-                is_int = (m > 0) & (m < INST_BASE)
-                is_ins = m >= INST_BASE
-                e = jnp.where(
-                    is_int, ((inst + 1) << 26) | (m - 1),
-                    jnp.where(
-                        is_ins,
-                        ((m - INST_BASE + 1) << 26) | blas_root,
-                        ((inst + 1) << 26) | (LEAF_BIT + (-m - 1)),
-                    ),
-                ).astype(jnp.int32)
-                ts.append(jnp.where(m == 0, FAR, tns[k]))
-                es.append(e)
+                # packed child key: WORLD-unit entry distance bitcast to
+                # int (order-preserving, both non-negative) | child slot
+                x = jnp.where(hit, jnp.maximum(t_en, 0.0) * scl, FAR)
+                xk = (bits(x) & ~7) | k
+                cols.append(jnp.min(xk, axis=1, keepdims=True))   # (8,1)
+            keys = jnp.min(jnp.concatenate(cols, axis=1), axis=0,
+                           keepdims=True)                        # (1,8)
+            kv = [keys[0, k] for k in range(WIDTH)]
             if not occlusion:
-                # sort far-to-near so the nearest child is popped first
-                # (pointless for any-hit, where the first hit ends the lane)
+                # near-to-far order (pointless for any-hit, where the first
+                # hit ends the lane)
                 for i, j in _SORT8:
-                    swap = ts[i] < ts[j]
-                    ti = jnp.where(swap, ts[j], ts[i])
-                    tj = jnp.where(swap, ts[i], ts[j])
-                    ei = jnp.where(swap, es[j], es[i])
-                    ej = jnp.where(swap, es[i], es[j])
-                    ts[i], ts[j], es[i], es[j] = ti, tj, ei, ej
-            # branchless pushes: invalid (FAR) candidates go to dump slots
+                    a = jnp.minimum(kv[i], kv[j])
+                    b = jnp.maximum(kv[i], kv[j])
+                    kv[i], kv[j] = a, b
+            # branchless pushes far-to-near: missed children (FAR keys) go
+            # to dump slots
             off = jnp.int32(0)
-            for k in range(WIDTH):
-                ok = ts[k] < FAR
-                addr = jnp.where(ok, sp_c + off, jnp.int32(STACK_CAP + k))
-                stack_ref[addr] = es[k]
-                tstack_ref[addr] = ts[k]
+            for j, k in enumerate(range(WIDTH - 1, -1, -1)):
+                kk = kv[k]
+                slot = kk & 7
+                tmpl = meta_ref[code * WIDTH + slot]
+                # empty slots (tmpl -1) can pass the slab test: the min/max
+                # slab form is insensitive to their inverted FAR boxes when
+                # both planes land at +-huge, so gate on the template too
+                ok = (kk < FAR_KEY_MIN) & (tmpl != -1)
+                ov = tmpl >> 26
+                ins = jnp.where(ov > 0, ov, inst + 1)
+                e = (ins << 26) | (tmpl & ENTRY_MASK)
+                addr = jnp.where(ok, sp_c + off, jnp.int32(STACK_CAP + j))
+                stack_ref[addr] = e
+                tstack_ref[addr] = kk & ~7
                 off = off + ok.astype(jnp.int32)
             if with_stats:
                 return sp_c + off, bnd, tb, ibst, ni + 1, nl
@@ -393,26 +455,27 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
                 sp_c, bnd, tb, ibst = c
                 ni = nl = jnp.int32(0)
             v = code - LEAF_BIT
-            first = (v >> 5) * leaf_size
+            leaf_idx = v >> 5
             count = v & 31
             cap = jnp.minimum(tmax, tb)
+            tr = fetch(tris_ref, leaf_idx)              # [9*leaf_size,128]
+            tws = []
             for k in range(leaf_size):
-                ti = first + k
-                tr = fetch(tris_ref, ti)                     # [9,128]
-                e2x = row1(tr, 6)
-                e2y = row1(tr, 7)
-                e2z = row1(tr, 8)
+                r = 9 * k
+                e2x = row1(tr, r + 6)
+                e2y = row1(tr, r + 7)
+                e2z = row1(tr, r + 8)
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
                 pz = dx * e2y - dy * e2x
-                e1x = row1(tr, 3)
-                e1y = row1(tr, 4)
-                e1z = row1(tr, 5)
+                e1x = row1(tr, r + 3)
+                e1y = row1(tr, r + 4)
+                e1z = row1(tr, r + 5)
                 det = e1x * px + e1y * py + e1z * pz
                 inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                tx = oxl - row1(tr, 0)
-                ty = oyl - row1(tr, 1)
-                tz = ozl - row1(tr, 2)
+                tx = oxl - row1(tr, r + 0)
+                ty = oyl - row1(tr, r + 1)
+                tz = ozl - row1(tr, r + 2)
                 uu = (tx * px + ty * py + tz * pz) * inv_det
                 qx = ty * e1z - tz * e1y
                 qy = tz * e1x - tx * e1z
@@ -425,15 +488,23 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
                     & (jnp.abs(det) > 1e-12)
                     & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                     & (tt > tminl)
-                    & (t_w < cap)
                 )
                 t_w = 0.0 if occlusion else t_w
-                cap = jnp.where(ok, t_w, cap)
-                tb = jnp.where(ok, t_w, tb)
-                iw = jnp.maximum(inst, 0) * n_tris + ti
-                ibst = jnp.where(ok, iw, ibst)
+                tws.append(jnp.where(ok, t_w, jnp.inf))
+            # min-tree over the independent per-slot hits (no serial chain)
+            t_min = tws[0]
+            for k in range(1, leaf_size):
+                t_min = jnp.minimum(t_min, tws[k])
+            better = t_min < cap
+            slot = jnp.full_like(i_best, leaf_size)
+            for k in range(leaf_size - 1, -1, -1):
+                slot = jnp.where(tws[k] == t_min, k, slot)
+            iw = (jnp.maximum(inst, 0) * n_tris
+                  + leaf_idx * leaf_size + slot)
+            tb = jnp.where(better, t_min, tb)
+            ibst = jnp.where(better, iw, ibst)
             # the packet bound only tightens when a leaf lands hits
-            bnd = jnp.max(cap)
+            bnd = jnp.max(bits(jnp.where(better, t_min, cap)))
             if with_stats:
                 return sp_c, bnd, tb, ibst, ni, nl + 1
             return sp_c, bnd, tb, ibst
@@ -446,11 +517,13 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
         return lax.cond(live, process, lambda c: c, init)
 
     def cond(carry):
-        return carry[0] > 0
+        # bound <= +0.0 bits: tile all-dead (negative tmax bits), or any-hit
+        # with every live ray occluded -> drain without popping
+        return (carry[0] > 0) & (carry[1] > 0)
 
     t0 = jnp.full((TILE_S, TILE_L), jnp.inf, jnp.float32)
     i0 = jnp.zeros((TILE_S, TILE_L), jnp.int32)
-    bound0 = jnp.max(tmax)
+    bound0 = jnp.max(lax.bitcast_convert_type(tmax, jnp.int32))
     if with_stats:
         st0 = (jnp.int32(1), bound0, t0, i0, jnp.int32(0), jnp.int32(0))
         _, _, t_best, i_best, n_int, n_leaf = lax.while_loop(cond, body, st0)
@@ -488,12 +561,13 @@ def intersect_wide(meta_tbl, bounds_pl, tris_pl, inst_flat, n_tris,
                    interpret: bool = False, with_stats: bool = False):
     """Distance-ordered 8-wide packet traversal (closest or any hit).
 
-    meta_tbl [Nm*8] i32 flat (SMEM), bounds_pl [48,Np] f32, tris_pl [9,Tp]
-    f32, inst_flat [(I+1)*4] f32 (identity row + per-instance off.xyz,
-    scale; SMEM). Hit indices are encoded instance * n_tris + triangle
-    (instance 0 when has_inst=False), matching ops/bvh.py
-    intersect_instances. with_stats=True additionally returns per-tile
-    (internal pops, leaf pops) counters [n_tiles, 2] for traversal tuning."""
+    meta_tbl [Nm*8] i32 flat push templates (SMEM), bounds_pl [48,Np] bf16,
+    tris_pl [9*leaf_size,Lp] f32 leaf-major, inst_flat [(I+1)*4] f32
+    (identity row + per-instance off.xyz, scale; SMEM). Hit indices are
+    encoded instance * n_tris + triangle (instance 0 when has_inst=False),
+    matching ops/bvh.py intersect_instances. with_stats=True additionally
+    returns per-tile (internal pops, leaf pops) counters [n_tiles, 2] for
+    traversal tuning."""
     n = o.shape[0]
     rays = _rays_tiles(o, d, tmin, tmax)
     n_tiles = rays.shape[0]
@@ -528,7 +602,8 @@ def intersect_wide(meta_tbl, bounds_pl, tris_pl, inst_flat, n_tris,
             pl.BlockSpec((nm,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((6 * WIDTH, bp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, tp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * leaf_size, tp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((ip,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, TILE_S, TILE_L), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -537,7 +612,7 @@ def intersect_wide(meta_tbl, bounds_pl, tris_pl, inst_flat, n_tris,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((STACK_CAP + WIDTH,), jnp.int32),
-            pltpu.SMEM((STACK_CAP + WIDTH,), jnp.float32),
+            pltpu.SMEM((STACK_CAP + WIDTH,), jnp.int32),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,

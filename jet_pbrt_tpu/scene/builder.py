@@ -478,9 +478,10 @@ class SceneBuilder:
         n_tlas_nodes = int(tlas_nodes.shape[0])
 
         def _empty_wide():
+            import ml_dtypes
             ident = np.zeros((4,), np.float32)
             ident[3] = 1.0
-            return (np.zeros((6 * wide.WIDTH, 128), np.float32),
+            return (np.zeros((6 * wide.WIDTH, 128), ml_dtypes.bfloat16),
                     np.zeros((8 * wide.WIDTH,), np.int32),
                     np.zeros((9, 128), np.float32),
                     ident)
@@ -493,7 +494,7 @@ class SceneBuilder:
         if use_bvh and on_tpu and n_tri:
             wb, wm, wt, wi, n_w, _root = wide.wide_tables(
                 bvh, bvh_tris, bvh_leaf_size)
-            if wide.fits_vmem(n_w, n_bvh_tris):
+            if wide.fits_vmem(n_w, n_bvh_tris, bvh_leaf_size):
                 pallas_bvh = True
                 bvh_w = (wb, wm, wt, wi)
                 # the shading path never reads the soup's row MT table
@@ -503,7 +504,7 @@ class SceneBuilder:
         if n_inst and on_tpu:
             wb, wm, wt, wi, n_w, wide_blas_root = wide.wide_tables_instanced(
                 tlas, blas, blas_tris, inst_off, inst_scale, bvh_leaf_size)
-            if wide.fits_vmem(n_w, n_blas_tris):
+            if wide.fits_vmem(n_w, n_blas_tris, bvh_leaf_size):
                 pallas_blas = True
                 inst_w = (wb, wm, wt, wi)
                 blas_nodes = np.zeros((0, 8), np.float32)

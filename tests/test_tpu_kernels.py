@@ -55,11 +55,13 @@ def _bunny_tris():
 
 
 def _mixed_rays(n, lookfrom=(-0.6, 0.8, -0.6), seed=0):
-    """Half coherent rays toward the origin, half scrambled/jittered — the
-    incoherent half is what historically broke on-chip."""
+    """Half coherent rays toward the mesh body, half scrambled/jittered —
+    the incoherent half is what historically broke on-chip. Targets span
+    the generated bunny's local bbox (~x,z in +-0.09, y in [0, 0.18])."""
     rng = np.random.default_rng(seed)
     o = np.asarray(lookfrom, np.float32)[None].repeat(n, 0)
-    targets = rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32)
+    targets = rng.uniform(-0.08, 0.08, (n, 3)).astype(np.float32)
+    targets[:, 1] = rng.uniform(0.02, 0.17, n).astype(np.float32)
     d = targets - o
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     half = n // 2

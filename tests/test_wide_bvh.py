@@ -48,11 +48,14 @@ def single_tables():
 
 def test_collapse_structure(single_tables):
     wm = np.asarray(single_tables["wm"]).reshape(-1, W.WIDTH)
-    # every internal child index in range; every node has >= 2 children
-    internal = wm[(wm > 0) & (wm < W.INST_BASE)] - 1
-    assert internal.max() < wm.shape[0]
-    used = (wm != 0).sum(1)
-    # padded rows have zero children; real rows have at least one
+    # push templates: -1 = empty; internal children have no instance
+    # override (bits 26+) and an entry code below LEAF_BIT
+    nonempty = wm != -1
+    ecode = wm & W.ENTRY_MASK
+    internal = nonempty & (wm >> 26 == 0) & (ecode < W.LEAF_BIT)
+    assert ecode[internal].max() < wm.shape[0]
+    used = nonempty.sum(1)
+    # padded slots are empty; real rows have at least two children
     assert (used[0] >= 2) and used.max() <= W.WIDTH
 
 
