@@ -483,11 +483,16 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
                 vv = (dx * qx + dy * qy + dz * qz) * inv_det
                 tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
                 t_w = tt * scl if has_inst else tt
+                # the world-distance upper bound (cap = min(tmax, best)) must
+                # be part of the per-triangle accept even in occlusion mode:
+                # shadow rays carry a finite tmax (light distance) and must
+                # NOT be occluded by geometry beyond it (ADVICE r3 high)
                 ok = (
                     (k < count)
                     & (jnp.abs(det) > 1e-12)
                     & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                     & (tt > tminl)
+                    & (t_w < cap)
                 )
                 t_w = 0.0 if occlusion else t_w
                 tws.append(jnp.where(ok, t_w, jnp.inf))

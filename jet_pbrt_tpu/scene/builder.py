@@ -481,9 +481,13 @@ class SceneBuilder:
             import ml_dtypes
             ident = np.zeros((4,), np.float32)
             ident[3] = 1.0
+            # placeholders match the kernel's expected layouts (meta -1 =
+            # empty slot — 0 is a valid template; tris leaf-major
+            # [9*leaf_size, 128]) even though they are only traced when the
+            # matching pallas_* flag is set (ADVICE r3 low)
             return (np.zeros((6 * wide.WIDTH, 128), ml_dtypes.bfloat16),
-                    np.zeros((8 * wide.WIDTH,), np.int32),
-                    np.zeros((9, 128), np.float32),
+                    np.full((8 * wide.WIDTH,), -1, np.int32),
+                    np.zeros((9 * bvh_leaf_size, 128), np.float32),
                     ident)
 
         bvh_w = _empty_wide()
@@ -501,7 +505,10 @@ class SceneBuilder:
                 # (unlike blas_tris), so drop both row tables here
                 bvh_nodes = np.zeros((0, 8), np.float32)
                 bvh_tris = np.zeros((0, 9), np.float32)
-        if n_inst and on_tpu:
+        # >31 instances exceed the wide kernel's 5-bit instance-override
+        # field (ops/wide_bvh.py _templates) — route them to the XLA
+        # instanced walk instead of asserting at build (ADVICE r3 medium)
+        if n_inst and on_tpu and n_inst < 32:
             wb, wm, wt, wi, n_w, wide_blas_root = wide.wide_tables_instanced(
                 tlas, blas, blas_tris, inst_off, inst_scale, bvh_leaf_size)
             if wide.fits_vmem(n_w, n_blas_tris, bvh_leaf_size):

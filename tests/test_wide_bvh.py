@@ -89,6 +89,36 @@ def test_wide_any_hit(single_tables):
     assert np.array_equal(np.asarray(h_w.valid), np.asarray(h_x.valid))
 
 
+def test_wide_any_hit_finite_tmax(single_tables):
+    """Shadow-ray semantics: geometry BEYOND tmax must not occlude.
+
+    Regression for the r3 any-hit bug where the per-triangle accept lost the
+    world-distance cap, so a finite-tmax ray was falsely occluded by any
+    triangle in a leaf whose box straddles tmax (ADVICE r3 high)."""
+    s = single_tables
+    n = W.TILE
+    o, d, tmin, tmax_inf = _rays(7, n)
+    # closest-hit distances (reference oracle)
+    h_x = intersect_bvh(s["nodes"], s["tris"], o, d, tmin, tmax_inf,
+                        leaf_size=s["leaf"])
+    t_ref = np.asarray(h_x.t)
+    valid = np.asarray(h_x.valid)
+    # set tmax to 90% of the closest hit: NOTHING should occlude
+    tmax_short = jnp.where(jnp.asarray(valid),
+                           jnp.asarray(t_ref) * 0.9, 0.5)
+    h_w = W.intersect_wide(s["wm"], s["wb"], s["wt"], s["wi"], s["n_tris"],
+                           o, d, tmin, tmax_short, leaf_size=s["leaf"],
+                           any_hit=True, interpret=True)
+    assert not np.asarray(h_w.valid).any()
+    # and with tmax at 110% of the closest hit, every valid lane occludes
+    tmax_long = jnp.where(jnp.asarray(valid),
+                          jnp.asarray(t_ref) * 1.1, -1.0)
+    h_w2 = W.intersect_wide(s["wm"], s["wb"], s["wt"], s["wi"], s["n_tris"],
+                            o, d, tmin, tmax_long, leaf_size=s["leaf"],
+                            any_hit=True, interpret=True)
+    assert np.array_equal(np.asarray(h_w2.valid), valid)
+
+
 def test_wide_dead_lanes(single_tables):
     """Dead lanes (tmin=inf / tmax=-1) report no hit and don't disturb
     neighbors."""
