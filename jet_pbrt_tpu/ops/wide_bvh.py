@@ -71,7 +71,16 @@ LEAF_BIT = 1 << 25
 ENTRY_MASK = (1 << 26) - 1
 # meta template (int32): (inst_override+1) << 26 | entry code; -1 = empty.
 # A push resolves the instance as (override or inherited) and ORs the code.
-STACK_CAP = 192   # worst case ~7 * tree depth; 8-wide depth <= ~10 for 2^25 tris
+STACK_CAP = 192   # build-time depth assert reference; see _wide_kernel layout
+# v3 kernel stack layout (single SMEM array pair):
+#   [0, NODE_CAP)              internal-node entries, grows up
+#   [NODE_CAP, LEAF_BASE)      dump slots for masked pushes (>= KI*WIDTH)
+#   [LEAF_BASE, STACK_TOTAL)   leaf entries, grows up
+NODE_CAP = 768
+DUMP_CAP = 64
+LEAF_BASE = NODE_CAP + DUMP_CAP
+LEAF_CAP = 1088
+STACK_TOTAL = LEAF_BASE + LEAF_CAP
 FAR = np.float32(3.0e37)
 FAR_BITS = int(np.float32(FAR).view(np.int32))
 # any packed child key (t-bits & ~7 | slot) of a missed child is >= this
@@ -187,11 +196,13 @@ def collapse_wide(bvh, leaf_size: int, leaf_meta=None):
                 c = new_node(depth_of[w] + 1)
                 meta_rows[w][k] = 1 + c
                 work.append((c, m))
-    # stack-safety: each live pop pushes <= WIDTH-1 net entries per level
+    # stack-safety: each live pop pushes <= WIDTH-1 net node entries per
+    # level; the v3 kernel pops up to 8 entries per iteration, so budget
+    # 8x the single-pop bound plus the dump region
     max_depth = max(depth_of)
-    assert (WIDTH - 1) * max_depth + WIDTH <= STACK_CAP, (
-        f"wide-BVH depth {max_depth} can overflow the {STACK_CAP}-entry "
-        "traversal stack; rebuild with a larger leaf or raise STACK_CAP"
+    assert (WIDTH - 1) * max_depth * 8 + DUMP_CAP <= NODE_CAP, (
+        f"wide-BVH depth {max_depth} can overflow the {NODE_CAP}-entry "
+        "node stack; rebuild with a larger leaf or raise NODE_CAP"
     )
     return np.stack(bounds_rows), np.stack(meta_rows)
 
@@ -304,15 +315,27 @@ def wide_tables_instanced(tlas_bvh, blas_bvh, tris, inst_off, inst_scale,
 def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
                  t_ref, idx_ref, *refs,
                  n_tris, leaf_size, blas_root, has_inst, occlusion,
-                 with_stats=False):
-    """One ray tile [TILE_S, TILE_L] walks the wide BVH behind a shared SMEM
-    stack. rays_ref fields: ox oy oz dx dy dz tmin tmax.
+                 with_stats=False, n_int_pop=4, n_leaf_pop=4):
+    """One ray tile [TILE_S, TILE_L] walks the wide BVH behind segregated
+    SMEM node/leaf stacks, retiring n_int_pop internal expansions AND
+    n_leaf_pop leaf tests per iteration. rays_ref fields: ox oy oz dx dy dz
+    tmin tmax.
 
-    All scalar bookkeeping is int32: per-child packet-nearest distances are
-    bitcast-packed (t-bits | slot) and lane-reduced in the vector domain,
-    sorted by a scalar int Batcher network, and pushed with their template
-    codes; the carried best-hit bound is the bitcast int of the packet max
-    cap, refreshed only when a leaf tightens it."""
+    v3 (round 4): the r3 single-pop kernel measured ~630ns/pop, of which
+    ~87ns loop overhead, ~160ns node-fetch latency, ~290ns lane-reduce +
+    vector->scalar extract latency, ~85ns sort/push — all LATENCY, not
+    compute (the 8 slab tests cost 10ns: VPU work is essentially free
+    here). The fix is ILP: pop K independent entries per iteration so
+    their fetch/reduce/extract chains overlap, and segregate internal vs
+    leaf entries into two stacks so the loop body is straight-line code
+    with no lax.cond divergence. Node children push to the node stack,
+    leaf children to the leaf stack (single SMEM array pair, see layout
+    constants); masked/dead pushes land in dump slots. The internal stream
+    stalls (repops same entries next iteration) if the leaf stack could
+    overflow. Correctness never depends on pop order: an entry is dropped
+    only when its packet-entry distance exceeds the packet's bitcast
+    best-hit bound (recomputed once per iteration from min(tmax, t_best)).
+    """
     if with_stats:
         stats_ref, stack_ref, tstack_ref = refs
     else:
@@ -351,50 +374,65 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
     def bits(x):
         return lax.bitcast_convert_type(x, jnp.int32)
 
-    # root entry: node 0, world space (inst = -1 -> tag 0)
-    stack_ref[0] = jnp.int32(0)
-    tstack_ref[0] = jnp.int32(0)
-
-    def body(carry):
-        if with_stats:
-            sp, bound, t_best, i_best, n_int, n_leaf = carry
-        else:
-            sp, bound, t_best, i_best = carry
-            n_int = n_leaf = jnp.int32(0)
-        sp1 = sp - 1
-        entry = stack_ref[sp1]
-        te = tstack_ref[sp1]
-        inst = (entry >> 26) - 1
-        code = entry & ENTRY_MASK
-        is_leaf = code >= LEAF_BIT
-        live = te < bound
-
-        # instance transform as scalars (identity row at index 0)
+    def inst_xform(inst):
+        """Instance transform scalars (identity row at index 0)."""
         if has_inst:
             ofx = inst_ref[(inst + 1) * 4 + 0]
             ofy = inst_ref[(inst + 1) * 4 + 1]
             ofz = inst_ref[(inst + 1) * 4 + 2]
             scl = inst_ref[(inst + 1) * 4 + 3]
             inv = 1.0 / scl
-            oxl = (ox - ofx) * inv
-            oyl = (oy - ofy) * inv
-            ozl = (oz - ofz) * inv
-            tminl = tmin * inv
-        else:
-            scl = jnp.float32(1.0)
-            oxl, oyl, ozl = ox, oy, oz
-            tminl = tmin
+            return ((ox - ofx) * inv, (oy - ofy) * inv, (oz - ofz) * inv,
+                    tmin * inv, scl, inv)
+        one = jnp.float32(1.0)
+        return ox, oy, oz, tmin, one, one
 
-        def internal(c):
-            if with_stats:
-                sp_c, bnd, tb, ibst, ni, nl = c
-            else:
-                sp_c, bnd, tb, ibst = c
-                ni = nl = jnp.int32(0)
-            cap = jnp.minimum(tmax, tb)
-            capl = cap * (inv if has_inst else 1.0)
-            nb = fetch(bounds_ref, code)                     # [48,128] f32
-            cols = []
+    # root entry: node 0, world space (inst = -1 -> tag 0)
+    stack_ref[0] = jnp.int32(0)
+    tstack_ref[0] = jnp.int32(0)
+    # masked leaf pops with an empty leaf stack read slot 0: seed it with a
+    # harmless empty leaf (leaf 0, count 0) so the fetch index is in range
+    stack_ref[LEAF_BASE] = jnp.int32((1 << 26) | LEAF_BIT)
+    tstack_ref[LEAF_BASE] = jnp.int32(0)
+
+    def body(carry):
+        if with_stats:
+            nsp, lsp, bound, t_best, i_best, n_int, n_leaf = carry
+        else:
+            nsp, lsp, bound, t_best, i_best = carry
+            n_int = n_leaf = jnp.int32(0)
+
+        cap0 = jnp.minimum(tmax, t_best)
+
+        # ---- leaf pops: READ the entries first ---------------------------
+        # this iteration's pushes reuse the popped region (the stack stays
+        # contiguous: pushes start at lsp_base), so the loads must be issued
+        # before any push store in program order
+        lsp_base = jnp.maximum(lsp - n_leaf_pop, 0)
+        leaf_pops = []
+        for j in range(n_leaf_pop):
+            idx = lsp - 1 - j
+            okp = idx >= 0
+            at = LEAF_BASE + jnp.maximum(idx, 0)
+            leaf_pops.append((okp, stack_ref[at], tstack_ref[at]))
+
+        # ---- internal stream: expand up to n_int_pop nodes ---------------
+        # stall if the worst-case leaf pushes could overflow the leaf stack
+        leaf_room = lsp < jnp.int32(LEAF_CAP - n_int_pop * WIDTH)
+        pops = []
+        for j in range(n_int_pop):
+            idx = nsp - 1 - j
+            okp = (idx >= 0) & leaf_room
+            at = jnp.maximum(idx, 0)
+            entry = stack_ref[at]
+            te = tstack_ref[at]
+            live = okp & (te < bound)
+            inst = (entry >> 26) - 1
+            code = entry & ENTRY_MASK
+            oxl, oyl, ozl, tminl, scl, inv = inst_xform(inst)
+            capl = cap0 * inv
+            nb = fetch(bounds_ref, code)                 # [48,128] f32
+            mins = []
             for k in range(WIDTH):
                 t0x = (row1(nb, 6 * k + 0) - oxl) * ix
                 t0y = (row1(nb, 6 * k + 1) - oyl) * iy
@@ -415,50 +453,74 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
                 # int (order-preserving, both non-negative) | child slot
                 x = jnp.where(hit, jnp.maximum(t_en, 0.0) * scl, FAR)
                 xk = (bits(x) & ~7) | k
-                cols.append(jnp.min(xk, axis=1, keepdims=True))   # (8,1)
-            keys = jnp.min(jnp.concatenate(cols, axis=1), axis=0,
-                           keepdims=True)                        # (1,8)
-            kv = [keys[0, k] for k in range(WIDTH)]
+                # reduce ray-sublanes first: (8,128) -> (1,128)
+                mins.append(jnp.min(xk, axis=0, keepdims=True))
+            # children on sublanes -> ONE lane reduce for all 8: (8,1)
+            kmat = jnp.concatenate(mins, axis=0)
+            kcol = jnp.min(kmat, axis=1, keepdims=True)
+            pops.append((live, inst, code, kcol))
+            if with_stats:
+                n_int = n_int + live.astype(jnp.int32)
+
+        off_n = jnp.int32(0)
+        off_l = jnp.int32(0)
+        nsp_base = jnp.maximum(nsp - n_int_pop, 0)
+        nsp_base = jnp.where(leaf_room, nsp_base, nsp)
+        for j, (live, inst, code, kcol) in enumerate(pops):
+            kv = [kcol[k, 0] for k in range(WIDTH)]
             if not occlusion:
                 # near-to-far order (pointless for any-hit, where the first
                 # hit ends the lane)
-                for i, j in _SORT8:
-                    a = jnp.minimum(kv[i], kv[j])
-                    b = jnp.maximum(kv[i], kv[j])
-                    kv[i], kv[j] = a, b
-            # branchless pushes far-to-near: missed children (FAR keys) go
-            # to dump slots
-            off = jnp.int32(0)
-            for j, k in enumerate(range(WIDTH - 1, -1, -1)):
+                for a, b in _SORT8:
+                    lo = jnp.minimum(kv[a], kv[b])
+                    hi = jnp.maximum(kv[a], kv[b])
+                    kv[a], kv[b] = lo, hi
+            # branchless pushes far-to-near; missed children (FAR keys),
+            # masked pops, and empty slots (tmpl -1, whose inverted FAR
+            # boxes can pass the min/max slab form) go to dump slots
+            for c, k in enumerate(range(WIDTH - 1, -1, -1)):
                 kk = kv[k]
                 slot = kk & 7
                 tmpl = meta_ref[code * WIDTH + slot]
-                # empty slots (tmpl -1) can pass the slab test: the min/max
-                # slab form is insensitive to their inverted FAR boxes when
-                # both planes land at +-huge, so gate on the template too
-                ok = (kk < FAR_KEY_MIN) & (tmpl != -1)
+                ok = (kk < FAR_KEY_MIN) & (tmpl != -1) & live
                 ov = tmpl >> 26
                 ins = jnp.where(ov > 0, ov, inst + 1)
-                e = (ins << 26) | (tmpl & ENTRY_MASK)
-                addr = jnp.where(ok, sp_c + off, jnp.int32(STACK_CAP + j))
+                ecode = tmpl & ENTRY_MASK
+                to_leaf = ecode >= LEAF_BIT
+                e = (ins << 26) | ecode
+                addr = jnp.where(
+                    ok,
+                    jnp.where(to_leaf, LEAF_BASE + lsp_base + off_l,
+                              nsp_base + off_n),
+                    jnp.int32(NODE_CAP + j * WIDTH + c),
+                )
                 stack_ref[addr] = e
                 tstack_ref[addr] = kk & ~7
-                off = off + ok.astype(jnp.int32)
-            if with_stats:
-                return sp_c + off, bnd, tb, ibst, ni + 1, nl
-            return sp_c + off, bnd, tb, ibst
+                okn = ok & ~to_leaf
+                okl = ok & to_leaf
+                off_n = off_n + okn.astype(jnp.int32)
+                off_l = off_l + okl.astype(jnp.int32)
+        nsp_new = nsp_base + off_n
 
-        def leaf(c):
-            if with_stats:
-                sp_c, bnd, tb, ibst, ni, nl = c
-            else:
-                sp_c, bnd, tb, ibst = c
-                ni = nl = jnp.int32(0)
-            v = code - LEAF_BIT
-            leaf_idx = v >> 5
+        # ---- leaf stream: test up to n_leaf_pop leaves -------------------
+        # entries were read before the push stores; newly pushed leaves are
+        # popped next iteration (LIFO keeps near leaves first). Every leaf
+        # is tested against the ITERATION-START cap (cap0) and the results
+        # are merged afterwards: chaining each leaf's cap through the
+        # previous leaf's min-tree would serialize the K fetch+MT chains and
+        # forfeit the whole ILP win (measured: ~2us/iter at K=4 chained vs
+        # ~0.6us independent)
+        results = []
+        for j in range(n_leaf_pop):
+            okp, entry, te = leaf_pops[j]
+            live = okp & (te < bound)
+            inst = (entry >> 26) - 1
+            v = (entry & ENTRY_MASK) - LEAF_BIT
+            leaf_idx = jnp.clip(v >> 5, 0, tris_ref.shape[1] - 1)
             count = v & 31
-            cap = jnp.minimum(tmax, tb)
-            tr = fetch(tris_ref, leaf_idx)              # [9*leaf_size,128]
+            oxl, oyl, ozl, tminl, scl, inv = inst_xform(inst)
+            cap = cap0
+            tr = fetch(tris_ref, leaf_idx)          # [9*leaf_size,128]
             tws = []
             for k in range(leaf_size):
                 r = 9 * k
@@ -483,12 +545,13 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
                 vv = (dx * qx + dy * qy + dz * qz) * inv_det
                 tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
                 t_w = tt * scl if has_inst else tt
-                # the world-distance upper bound (cap = min(tmax, best)) must
-                # be part of the per-triangle accept even in occlusion mode:
-                # shadow rays carry a finite tmax (light distance) and must
-                # NOT be occluded by geometry beyond it (ADVICE r3 high)
+                # the world-distance upper bound (cap = min(tmax, best))
+                # must be part of the per-triangle accept even in occlusion
+                # mode: shadow rays carry a finite tmax (light distance) and
+                # must NOT be occluded by geometry beyond it (ADVICE r3 high)
                 ok = (
                     (k < count)
+                    & live
                     & (jnp.abs(det) > 1e-12)
                     & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                     & (tt > tminl)
@@ -500,44 +563,48 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
             t_min = tws[0]
             for k in range(1, leaf_size):
                 t_min = jnp.minimum(t_min, tws[k])
-            better = t_min < cap
             slot = jnp.full_like(i_best, leaf_size)
             for k in range(leaf_size - 1, -1, -1):
                 slot = jnp.where(tws[k] == t_min, k, slot)
             iw = (jnp.maximum(inst, 0) * n_tris
                   + leaf_idx * leaf_size + slot)
-            tb = jnp.where(better, t_min, tb)
-            ibst = jnp.where(better, iw, ibst)
-            # the packet bound only tightens when a leaf lands hits
-            bnd = jnp.max(bits(jnp.where(better, t_min, cap)))
+            results.append((t_min, iw))
             if with_stats:
-                return sp_c, bnd, tb, ibst, ni, nl + 1
-            return sp_c, bnd, tb, ibst
+                n_leaf = n_leaf + live.astype(jnp.int32)
+        # merge the independent leaf results (short select chain)
+        tb = t_best
+        ib = i_best
+        for t_min, iw in results:
+            better = t_min < tb
+            tb = jnp.where(better, t_min, tb)
+            ib = jnp.where(better, iw, ib)
+        lsp_new = lsp_base + off_l
 
-        def process(c):
-            return lax.cond(is_leaf, leaf, internal, c)
-
-        init = ((sp1, bound, t_best, i_best, n_int, n_leaf) if with_stats
-                else (sp1, bound, t_best, i_best))
-        return lax.cond(live, process, lambda c: c, init)
+        # packet bound: bitcast max of min(tmax, best) over the tile; dead
+        # lanes (tmax -1) go negative and drop out unless the whole tile is
+        # dead, in which case the loop drains without popping
+        bound_new = jnp.max(bits(jnp.minimum(tmax, tb)))
+        if with_stats:
+            return (nsp_new, lsp_new, bound_new, tb, ib, n_int, n_leaf)
+        return (nsp_new, lsp_new, bound_new, tb, ib)
 
     def cond(carry):
-        # bound <= +0.0 bits: tile all-dead (negative tmax bits), or any-hit
-        # with every live ray occluded -> drain without popping
-        return (carry[0] > 0) & (carry[1] > 0)
+        return ((carry[0] > 0) | (carry[1] > 0)) & (carry[2] > 0)
 
     t0 = jnp.full((TILE_S, TILE_L), jnp.inf, jnp.float32)
     i0 = jnp.zeros((TILE_S, TILE_L), jnp.int32)
     bound0 = jnp.max(lax.bitcast_convert_type(tmax, jnp.int32))
     if with_stats:
-        st0 = (jnp.int32(1), bound0, t0, i0, jnp.int32(0), jnp.int32(0))
-        _, _, t_best, i_best, n_int, n_leaf = lax.while_loop(cond, body, st0)
+        st0 = (jnp.int32(1), jnp.int32(0), bound0, t0, i0,
+               jnp.int32(0), jnp.int32(0))
+        out = lax.while_loop(cond, body, st0)
+        _, _, _, t_best, i_best, n_int, n_leaf = out
         tile = pl.program_id(0)
         stats_ref[tile, 0] = n_int
         stats_ref[tile, 1] = n_leaf
     else:
-        st0 = (jnp.int32(1), bound0, t0, i0)
-        _, _, t_best, i_best = lax.while_loop(cond, body, st0)
+        st0 = (jnp.int32(1), jnp.int32(0), bound0, t0, i0)
+        _, _, _, t_best, i_best = lax.while_loop(cond, body, st0)
     t_ref[0] = t_best
     idx_ref[0] = i_best
 
@@ -563,7 +630,8 @@ def _rays_tiles(o, d, tmin, tmax):
 def intersect_wide(meta_tbl, bounds_pl, tris_pl, inst_flat, n_tris,
                    o, d, tmin, tmax, *, leaf_size: int, blas_root: int = 0,
                    has_inst: bool = False, any_hit: bool = False,
-                   interpret: bool = False, with_stats: bool = False):
+                   interpret: bool = False, with_stats: bool = False,
+                   n_int_pop: int = 4, n_leaf_pop: int = 4):
     """Distance-ordered 8-wide packet traversal (closest or any hit).
 
     meta_tbl [Nm*8] i32 flat push templates (SMEM), bounds_pl [48,Np] bf16,
@@ -580,7 +648,7 @@ def intersect_wide(meta_tbl, bounds_pl, tris_pl, inst_flat, n_tris,
     kernel = functools.partial(
         _wide_kernel, n_tris=n_tris, leaf_size=leaf_size,
         blas_root=blas_root, has_inst=has_inst, occlusion=any_hit,
-        with_stats=with_stats,
+        with_stats=with_stats, n_int_pop=n_int_pop, n_leaf_pop=n_leaf_pop,
     )
     nm, bp = meta_tbl.shape[0], bounds_pl.shape[1]
     tp, ip = tris_pl.shape[1], inst_flat.shape[0]
@@ -616,8 +684,8 @@ def intersect_wide(meta_tbl, bounds_pl, tris_pl, inst_flat, n_tris,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.SMEM((STACK_CAP + WIDTH,), jnp.int32),
-            pltpu.SMEM((STACK_CAP + WIDTH,), jnp.int32),
+            pltpu.SMEM((STACK_TOTAL,), jnp.int32),
+            pltpu.SMEM((STACK_TOTAL,), jnp.int32),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
