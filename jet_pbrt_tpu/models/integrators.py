@@ -49,7 +49,7 @@ _sg = jax.lax.stop_gradient
 
 def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
             nee: bool = True, with_stats: bool = False,
-            sort_rays: bool = False):
+            sort_rays: bool | None = None):
     """Iterative path-traced radiance for a ray batch.
 
     o, d: [N,3] primary rays; u: per-lane PRNG keys [N] or pregenerated
@@ -60,12 +60,18 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
     used by tests as an independent cross-check of the NEE estimator
     (both must converge to the same image).
 
-    sort_rays=True permutes lanes between bounces — dead lanes to the tail,
-    live lanes by (direction octant, origin Morton) — so packet/BVH
-    traversal sees coherent tiles and all-dead tiles exit immediately
-    (ops/sort.py). The estimate is identical either way; it is purely a
-    traversal-throughput knob for large-mesh scenes.
+    sort_rays permutes lanes between bounces — dead lanes to the tail,
+    live lanes by (origin Morton, direction octant) — so the cull-sweep
+    kernel sees dense coherent packets and all-dead packets exit after one
+    root test (ops/sort.py). The estimate is identical either way; it is
+    purely a traversal-throughput knob, and it DEFAULTS ON whenever the
+    scene routes triangles through the Pallas sweep (its biggest effect is
+    liveness compaction: a 5%-live bounce wave costs ~16x less when the
+    live rays occupy 5% of the packets instead of 8 lanes of every
+    packet).
     """
+    if sort_rays is None:
+        sort_rays = bool(meta.pallas_bvh or meta.pallas_blas)
     n = o.shape[0]
     nl = meta.n_lights
     L = jnp.zeros((n, 3), jnp.float32)

@@ -57,7 +57,9 @@ def _sample_shape_position(pack, shape_kind, shape_idx, u):
     """SamplePosition for one static shape row -> (pos [N,3], n [N,3],
     pdf_area [N]). Mirrors the per-shape SamplePosition methods
     (reference: src/shape.h:256-268, 353-363, 459-467, 549-561)."""
-    from ..scene.pack import KIND_TRI, KIND_SPHERE, KIND_RECT, KIND_DISK
+    from ..scene.pack import (
+        KIND_TRI, KIND_SPHERE, KIND_RECT, KIND_DISK, KIND_INST,
+    )
 
     n_batch = u.shape[0]
     if shape_kind == KIND_TRI:
@@ -98,6 +100,41 @@ def _sample_shape_position(pack, shape_kind, shape_idx, u):
         pos = c[None, :] + r * dirs
         nrm = dirs
         area = 4.0 * PI * r * r
+    elif shape_kind == KIND_INST:
+        # emissive INSTANCE: sample a triangle of the shared BLAS uniformly
+        # (index, not area-weighted — the remapped u would need a CDF
+        # search per lane; per-sample pdf carries the exact per-triangle
+        # area so the estimator stays unbiased), then a uniform barycentric
+        # point, transformed by the instance (uniform scale + translation).
+        # The reference instead attaches one FAreaLight per triangle and
+        # NEE-loops over all of them (reference: src/scene.cc:79-89); one
+        # instance-level light with per-triangle pdf is the batched
+        # equivalent.
+        from ..ops.gather import take_rows
+
+        # sample from the RAW mesh table (blas_tris pads leaves by
+        # duplicating triangles, which would double-cover their area)
+        t_count = pack.inst_em_tris.shape[0]
+        off = pack.inst_off[shape_idx]
+        scl = pack.inst_scale[shape_idx]
+        u0 = jnp.clip(u[:, 0] * t_count, 0.0, t_count - 1e-3)
+        ti = u0.astype(jnp.int32)
+        u0r = u0 - ti.astype(jnp.float32)   # remapped leftover uniform
+        rows = take_rows(
+            jnp.concatenate([pack.inst_em_tris, pack.inst_em_n], axis=1),
+            ti)
+        p0, e1, e2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+        b = sample_uniform_triangle(
+            jnp.stack([u0r, u[:, 1]], axis=-1))
+        # b = (b0, b1) weights on (p0, p1); p = p0 + (1-b0-?) ... express
+        # via edges: p_local = p0 + (b1) e1 + (1 - b0 - b1) e2 with the
+        # same convention as the KIND_TRI branch above
+        pos_l = p0 + b[:, 1:2] * e1 + (1.0 - b[:, 0:1] - b[:, 1:2]) * e2
+        pos = pos_l * scl + off[None, :]
+        nrm = rows[:, 9:12]
+        area_l = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+        area_w = jnp.maximum(area_l * scl * scl, 1e-20)
+        return pos, nrm, 1.0 / (t_count * area_w)
     else:
         raise ValueError(f"bad shape kind {shape_kind}")
     pdf_area = jnp.full((n_batch,), 1.0, jnp.float32) / area
@@ -256,6 +293,16 @@ def pdf_li(meta, pack, light_index: int, shade_pos, wi) -> jnp.ndarray:
         return jnp.zeros((n,), jnp.float32)
 
     sk, si = lm.shape_kind, lm.shape_idx
+    from ..scene.pack import KIND_INST
+    if sk == KIND_INST:
+        # MIS for emissive instances would need a per-direction re-traversal
+        # of the BLAS to recover the sampled pdf; the reference estimator
+        # (NEE without MIS) never calls this. Fail loudly at trace time
+        # instead of silently double-counting.
+        raise NotImplementedError(
+            "mis=True with emissive instances is not supported; render "
+            "with the reference NEE estimator (mis=False)"
+        )
     tmin = jnp.full((n,), 1e-3, jnp.float32)
     tmax = jnp.full((n,), jnp.inf, jnp.float32)
 

@@ -4,15 +4,16 @@ The TPU-native form of wavefront compaction (SURVEY.md §7's "central
 architectural experiment"). XLA programs have static shapes, so paths are
 never physically removed from the wave; instead lanes are *permuted* so that
 
-  * dead lanes cluster at the tail — the packet BVH kernel
-    (ops/wide_bvh.py) walks a tile only while ANY of its rays is live, so
-    an all-dead tile exits after one root test; the XLA skip-link walk
-    likewise drains them in one step, and the brute-force shape kernels get
-    their hits masked off;
-  * live lanes sort by direction octant then by a Morton code of the ray
-    origin — secondary rays that scatter incoherently across the scene
-    regroup into spatially-coherent packets, which is what keeps lockstep
-    packet traversal from degenerating to per-ray worst case on big meshes.
+  * dead lanes cluster at the tail — the cull-sweep kernel
+    (ops/sweep_bvh.py) skips an all-dead 128-ray packet after one root
+    test, so compaction alone collapses a 5%-live bounce wave from "every
+    packet pays a sphere sweep" to a handful of dense live packets; the
+    XLA skip-link walk likewise drains dead lanes in one step;
+  * live lanes sort by the 128-tri GROUP id of their previous hit, then by
+    direction octant — rays that bounced off the same patch of mesh cull
+    to nearly the same group set, a far tighter traversal-locality proxy
+    than world-space position (measured: world-Morton keys GREW pop counts
+    on real bounce waves by concentrating unrelated rays into one packet).
 
 The reference has no analogue (one CPU thread per tile never diverges); this
 replaces the warp-compaction / ray-binning step of GPU wavefront tracers.
@@ -42,10 +43,16 @@ def morton3(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def ray_sort_key(active, o, d, world_lo, world_inv) -> jnp.ndarray:
-    """Sort key per lane: (dead, direction octant, origin Morton).
+    """Sort key per lane: (dead, origin Morton, direction octant).
 
     world_lo: [3] scene AABB min; world_inv: [3] 1/extent. Dead lanes get
-    the largest keys so live rays pack densely at the front of the wave."""
+    the largest keys so live rays pack densely at the front of the wave.
+
+    Origin-MAJOR, octant-minor: bounce-ray origins are hit points, so
+    fine spatial clustering groups rays that will cull to the same
+    128-triangle sweep groups. (The r3 octant-major ordering measurably
+    GREW traversal work: it concentrated unrelated far-apart rays into
+    single packets.)"""
     q = jnp.clip(
         ((o - world_lo) * world_inv * 128.0).astype(jnp.int32), 0, 127
     )
@@ -55,5 +62,5 @@ def ray_sort_key(active, o, d, world_lo, world_inv) -> jnp.ndarray:
         | ((d[:, 1] > 0).astype(jnp.int32) << 1)
         | ((d[:, 2] > 0).astype(jnp.int32) << 2)
     )
-    key = (octant << 21) | code
+    key = (code << 3) | octant
     return jnp.where(active, key, jnp.int32(1 << 26))

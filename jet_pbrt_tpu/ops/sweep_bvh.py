@@ -1,0 +1,426 @@
+"""Stackless MXU cull-sweep triangle intersection (TPU-native BVH successor).
+
+Replaces stack-based packet traversal (reference: src/bvh.h:94-146 walks a
+recursive 2-wide pointer tree per ray) with a two-phase data-parallel sweep
+that maps the whole problem onto the MXU:
+
+  1. CULL: triangles are stored in BVH-DFS order and tiled into GROUPS of
+     128 consecutive triangles (spatially coherent by construction). Each
+     group carries a bounding sphere. One packet (128 rays) tests ALL
+     group spheres at once: the ray/sphere terms c.d and c.o are exact
+     rank-3 contractions -> two dot_generals [3,G]x[3,128] on the MXU,
+     followed by ~10 elementwise ops on the (G,128) tile. A lane-reduce
+     yields one packed (entry-distance | group-id) key per group.
+
+  2. SCAN: a while-loop pops the NEAREST remaining culled group via a
+     vector min + one scalar extract per iteration (no stack, no sorted
+     push, no per-child scalar bookkeeping — the r3/r4 stack kernels
+     measured 200+ scalar-unit cycles per node pop, which was the
+     throughput wall). Each popped group runs the test phase and is
+     masked out of the key array; the loop exits as soon as the nearest
+     remaining entry distance exceeds the packet's best-hit bound, so
+     traversal is near-to-far with full early termination.
+
+  3. TEST: a popped group's 128 triangles are tested against all 128 rays
+     with precomputed Baldwin-Weber rows: the table slice [12,128] feeds
+     three dot_general contractions against 4-row ray matrices (plane:
+     t = -(n.o - d0)/n.d; barycentrics: affine rows A1,b1 / A2,b2), giving
+     (128 tris x 128 rays) t/u/v in ~15 elementwise ops — no per-triangle
+     fetch, no Moller-Trumbore cross products (~51 ops/tri in the packet
+     kernel). Hit indices ride a packed (t-bits | tri-sublane) min-tree.
+
+Instancing (uniform scale + translation) runs as a compile-time loop over
+instances; a root-sphere pre-test skips instances the packet cannot touch.
+All matmuls use HIGHEST precision (exact-ish f32) and the sphere test adds
+a relative slack term so rounding can only over-cull-never-under-cull.
+
+Group size 128 matches the MXU/VPU lane width: the sweep trades ~2-4x more
+ray-triangle tests than a 16-leaf BVH walk for a >30x drop in per-visit
+overhead, which is the winning trade on this hardware (the VPU does a
+full 128x128 test tile in ~60 cycles; one *scalar* stack pop costs ~200).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import KindHit
+
+GROUP = 128          # triangles per cull group (one MXU lane tile)
+RAYS = 128           # rays per packet (one lane tile)
+FAR = np.float32(3.0e37)
+FAR_BITS = int(np.float32(FAR).view(np.int32))
+# packed group key: (entry-distance bits & ~1023) | group id  (10 id bits)
+GMASK = 1023
+FAR_KEY = FAR_BITS & ~GMASK
+# packed triangle key: (t bits & ~127) | tri sublane  (7 id bits)
+TMASK = 127
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def fits_vmem(n_tris: int) -> bool:
+    """BW rows [12, Tp] f32 + spheres in VMEM."""
+    tp = ((max(n_tris, 1) + GROUP - 1) // GROUP) * GROUP
+    return tp * 12 * 4 + (tp // GROUP) * 8 * 4 <= _VMEM_BUDGET
+
+
+def max_groups() -> int:
+    return GMASK + 1
+
+
+# ---------------------------------------------------------------------------
+# host-side table build
+# ---------------------------------------------------------------------------
+
+def build_sweep_tables(tris_mt: np.ndarray):
+    """Triangle table [T,9] of Moller-Trumbore rows (p0, e1, e2) in BVH-DFS
+    order -> (bw [12, Tp] f32, sph [8, Gp] f32, root [8] f32, n_groups).
+
+    bw rows (grouped in 4-row blocks so each block contracts with a 4-row
+    ray matrix):
+      0:4   [n.x, n.y, n.z, -d0]   with n = e1 x e2, d0 = n.p0
+      4:8   [A1.x, A1.y, A1.z, b1] barycentric-u affine row
+      8:12  [A2.x, A2.y, A2.z, b2] barycentric-v affine row
+    For O4 = [o; 1]: block0 . O4 = n.o - d0, block1 . O4 = A1.o + b1, etc.
+    Degenerate/padding triangles get all-zero rows (n.d == 0 -> miss).
+
+    sph rows: [cx, cy, cz, |c|^2, r^2, r, 0, 0] per group of 128 tris.
+    root: the same 8 floats for the whole mesh (instance pre-test).
+    """
+    a = np.asarray(tris_mt, np.float64)
+    t = a.shape[0]
+    tp = ((max(t, 1) + GROUP - 1) // GROUP) * GROUP
+    a = np.pad(a, ((0, tp - t), (0, 0)))
+    p0, e1, e2 = a[:, 0:3], a[:, 3:6], a[:, 6:9]
+    n = np.cross(e1, e2)
+    d0 = np.einsum("ij,ij->i", n, p0)
+    # barycentric rows: [u, v, w]^T = M^{-1} (p - p0), M columns (e1, e2, n)
+    m = np.stack([e1, e2, n], axis=2)
+    det = np.linalg.det(m)
+    ok = np.abs(det) > 1e-18
+    minv = np.zeros((tp, 3, 3))
+    if ok.any():
+        minv[ok] = np.linalg.inv(m[ok])
+    a1 = minv[:, 0, :]
+    a2 = minv[:, 1, :]
+    b1 = -np.einsum("ij,ij->i", a1, p0)
+    b2 = -np.einsum("ij,ij->i", a2, p0)
+    n = np.where(ok[:, None], n, 0.0)
+    d0 = np.where(ok, d0, 0.0)
+    a1 = np.where(ok[:, None], a1, 0.0)
+    a2 = np.where(ok[:, None], a2, 0.0)
+    b1 = np.where(ok, b1, 0.0)
+    b2 = np.where(ok, b2, 0.0)
+    bw = np.stack([n[:, 0], n[:, 1], n[:, 2], -d0,
+                   a1[:, 0], a1[:, 1], a1[:, 2], b1,
+                   a2[:, 0], a2[:, 1], a2[:, 2], b2]).astype(np.float32)
+
+    def sphere(idx):
+        """Bounding sphere of the valid triangles' vertices in idx."""
+        v = np.concatenate([p0[idx][ok[idx]], (p0 + e1)[idx][ok[idx]],
+                            (p0 + e2)[idx][ok[idx]]], axis=0)
+        if len(v) == 0:
+            return np.zeros(8, np.float32)
+        c = 0.5 * (v.min(axis=0) + v.max(axis=0))
+        r = float(np.sqrt(((v - c) ** 2).sum(axis=1).max())) * (1 + 1e-6)
+        return np.array([c[0], c[1], c[2], float(c @ c), r * r, r, 0, 0],
+                        np.float32)
+
+    n_groups = tp // GROUP
+    gp = ((n_groups + RAYS - 1) // RAYS) * RAYS
+    # padding groups are zeroed; the kernel masks them by group id
+    sph = np.zeros((8, gp), np.float32)
+    for g in range(n_groups):
+        sph[:, g] = sphere(slice(g * GROUP, (g + 1) * GROUP))
+    root = sphere(slice(0, tp))
+    return bw, sph, root.astype(np.float32), n_groups
+
+
+def flat_inst(inst_off, inst_scale) -> np.ndarray:
+    """SMEM instance table [(I+1)*4]: identity row + (off.xyz, scale)."""
+    n = len(inst_scale)
+    t = np.zeros((n + 1, 4), np.float32)
+    t[0, 3] = 1.0
+    if n:
+        t[1:, :3] = np.asarray(inst_off, np.float32)
+        t[1:, 3] = np.asarray(inst_scale, np.float32)
+    return np.ascontiguousarray(t.reshape(-1))
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _sweep_kernel(sph_ref, bw_ref, inst_ref, root_ref, rays_ref,
+                  t_ref, idx_ref, *refs,
+                  n_tris, n_groups, n_inst, occlusion, with_stats):
+    """One 128-ray packet sweeps all instances. rays_ref[0] rows: ox oy oz
+    dx dy dz tmin tmax, each (1, RAYS).
+
+    Scratch: kscr (Gp, 128) packed group keys (lane 0 used), tscr/iscr
+    (8, RAYS) best-hit state in row 0 (refs, so the scan while-loop carry
+    stays scalar)."""
+    if with_stats:
+        stats_ref, kscr, tscr, iscr = refs
+    else:
+        kscr, tscr, iscr = refs
+    ox = rays_ref[0, 0]
+    oy = rays_ref[0, 1]
+    oz = rays_ref[0, 2]
+    dx = rays_ref[0, 3]
+    dy = rays_ref[0, 4]
+    dz = rays_ref[0, 5]
+    tmin = rays_ref[0, 6]
+    tmax = rays_ref[0, 7]
+    gp = sph_ref.shape[1]
+
+    def bits(x):
+        return lax.bitcast_convert_type(x, jnp.int32)
+
+    tscr[0:1, :] = jnp.full((1, RAYS), jnp.inf, jnp.float32)
+    iscr[0:1, :] = jnp.zeros((1, RAYS), jnp.int32)
+    if with_stats:
+        stats_ref[pl.program_id(0), 0] = jnp.int32(0)
+        stats_ref[pl.program_id(0), 1] = jnp.int32(0)
+
+    d3 = jnp.concatenate([dx, dy, dz], axis=0)                   # (3, R)
+    hp = lax.Precision.HIGHEST
+    iota_gl = lax.broadcasted_iota(jnp.int32, (1, gp), 1)
+    iota_rr = lax.broadcasted_iota(jnp.int32, (RAYS, RAYS), 0)
+    ident = (iota_rr == lax.broadcasted_iota(
+        jnp.int32, (RAYS, RAYS), 1)).astype(jnp.float32)
+
+    for i in range(max(n_inst, 1)):
+        # instance transform (identity row when non-instanced)
+        base = (i + 1) * 4 if n_inst else 0
+        ofx = inst_ref[base + 0]
+        ofy = inst_ref[base + 1]
+        ofz = inst_ref[base + 2]
+        scl = inst_ref[base + 3]
+        inv = 1.0 / scl
+        oxl = (ox - ofx) * inv
+        oyl = (oy - ofy) * inv
+        ozl = (oz - ofz) * inv
+        tminl = tmin * inv
+        # cap from the CURRENT best (previous instances included)
+        capw = jnp.minimum(tmax, tscr[0:1, :])
+        capl = capw * inv
+
+        od = oxl * dx + oyl * dy + ozl * dz                      # (1, R)
+        oo = oxl * oxl + oyl * oyl + ozl * ozl
+
+        # root pre-test: can any live ray touch the mesh sphere at all?
+        rcx = root_ref[0]
+        rcy = root_ref[1]
+        rcz = root_ref[2]
+        rr = root_ref[5]
+        rtc = (rcx - oxl) * dx + (rcy - oyl) * dy + (rcz - ozl) * dz
+        rm2 = ((rcx - oxl) ** 2 + (rcy - oyl) ** 2 + (rcz - ozl) ** 2
+               - rtc * rtc)
+        rhit = ((rm2 <= rr * rr * 1.0001 + 1e-5)
+                & (rtc + rr >= tminl) & (rtc - rr <= capl)
+                & (capl >= tminl))
+        any_root = jnp.max(jnp.where(rhit, 1, 0))
+
+        @pl.when(any_root > 0)
+        def _instance():
+            o3 = jnp.concatenate([oxl, oyl, ozl], axis=0)        # (3, R)
+            c3 = sph_ref[0:3, :]                                 # (3, Gp)
+            cc = sph_ref[3:4, :]                                 # (1, Gp)
+            r2 = sph_ref[4:5, :]
+            rad = sph_ref[5:6, :]
+            # (R, Gp): rays on sublanes, groups on lanes — the ray-reduce
+            # then lands the keys lanes-major, where scan ops are cheap
+            cd = lax.dot_general(d3, c3, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=hp)
+            co = lax.dot_general(o3, c3, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=hp)
+            # per-ray scalars as (R,1) columns via one identity matmul;
+            # clamp the infinities (dead-lane tmin, open tmax) to FAR
+            # first — 0 * inf = NaN would poison the transpose
+            prow = jnp.concatenate(
+                [od, oo, jnp.minimum(tminl, FAR), jnp.minimum(capl, FAR)],
+                axis=0)                                            # (4,R)
+            pcol = lax.dot_general(ident, prow, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=hp)                   # (R,4)
+            odc = pcol[:, 0:1]
+            ooc = pcol[:, 1:2]
+            tminc = pcol[:, 2:3]
+            capc = pcol[:, 3:4]
+            tc = cd - odc                                        # (R, Gp)
+            m2 = cc - 2.0 * co + ooc - tc * tc
+            # rounding slack: over-cull only, never under-cull
+            slack = (cc + 2.0 * jnp.abs(co) + ooc + tc * tc) * 1e-6
+            hit = ((m2 <= r2 + slack)
+                   & (tc + rad >= tminc) & (tc - rad <= capc)
+                   & (capc >= tminc))
+            # packed key: WORLD-unit conservative entry distance | group id
+            tw = jnp.maximum(tc - rad, 0.0) * scl
+            key = jnp.where(hit, bits(tw) & ~GMASK, FAR_KEY)
+            key = jnp.min(key, axis=0, keepdims=True)            # (1, Gp)
+            key = jnp.where(iota_gl < n_groups, key | iota_gl,
+                            FAR_KEY | iota_gl)
+            kscr[0:1, :] = key
+
+            one = jnp.ones((1, RAYS), jnp.float32)
+            zero = jnp.zeros((1, RAYS), jnp.float32)
+            o4 = jnp.concatenate([oxl, oyl, ozl, one], axis=0)
+            d4 = jnp.concatenate([dx, dy, dz, zero], axis=0)
+
+            def cond(carry):
+                return carry > 0
+
+            def body(carry):
+                kmin = jnp.min(kscr[0:1, :])
+                g = kmin & GMASK
+                dist = kmin & ~GMASK
+                capw2 = jnp.minimum(tmax, tscr[0:1, :])
+                bound = jnp.max(bits(capw2))
+                live = (dist < bound) & (dist < FAR_KEY)
+
+                @pl.when(live)
+                def _test():
+                    blk = pl.multiple_of(g * GROUP, GROUP)
+                    b0 = bw_ref[0:4, pl.ds(blk, GROUP)]
+                    b1 = bw_ref[4:8, pl.ds(blk, GROUP)]
+                    b2 = bw_ref[8:12, pl.ds(blk, GROUP)]
+                    dg = lambda a, b: lax.dot_general(
+                        a, b, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=hp)
+                    nd = dg(b0, d4)              # (G tris, R rays)
+                    no = dg(b0, o4)              # n.o - d0
+                    ud = dg(b1, d4)
+                    uo = dg(b1, o4)              # A1.o + b1
+                    vd = dg(b2, d4)
+                    vo = dg(b2, o4)
+                    r_nd = jnp.where(jnp.abs(nd) > 1e-20, 1.0 / nd, 0.0)
+                    t = -no * r_nd
+                    u = uo + t * ud
+                    v = vo + t * vd
+                    t_w = t * scl
+                    ok = ((jnp.abs(nd) > 1e-20)
+                          & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                          & (t > tminl) & (t_w < capw2))
+                    t_w = jnp.where(ok, 0.0 if occlusion else t_w, jnp.inf)
+                    # exact-t reduce + packed index reduce over tris
+                    t_new = jnp.min(t_w, axis=0, keepdims=True)   # (1, R)
+                    sub = lax.broadcasted_iota(jnp.int32, (GROUP, RAYS), 0)
+                    pk = jnp.where(ok, (bits(t_w) & ~TMASK) | sub,
+                                   FAR_BITS | TMASK)
+                    pk = jnp.min(pk, axis=0, keepdims=True)
+                    tri = (i * n_tris) + g * GROUP + (pk & TMASK)
+                    better = t_new < tscr[0:1, :]
+                    iscr[0:1, :] = jnp.where(better, tri, iscr[0:1, :])
+                    tscr[0:1, :] = jnp.where(better, t_new, tscr[0:1, :])
+                    if with_stats:
+                        stats_ref[pl.program_id(0), 1] = (
+                            stats_ref[pl.program_id(0), 1] + 1)
+
+                # retire this group
+                kscr[0:1, :] = jnp.where(iota_gl == g, FAR_KEY | iota_gl,
+                                         kscr[0:1, :])
+                return jnp.where(live, jnp.int32(1), jnp.int32(0))
+
+            lax.while_loop(cond, body, jnp.int32(1))
+            if with_stats:
+                stats_ref[pl.program_id(0), 0] = (
+                    stats_ref[pl.program_id(0), 0] + 1)
+
+    t_ref[0] = tscr[0:1, :].reshape(1, RAYS)
+    idx_ref[0] = iscr[0:1, :].reshape(1, RAYS)
+
+
+def _rays_tiles(o, d, tmin, tmax):
+    """[N] ray batch -> [n_tiles, 8 fields, 1, RAYS]; dead padding."""
+    n = o.shape[0]
+    pad = (-n) % RAYS
+    n_tiles = (n + pad) // RAYS
+
+    def pad1(x, fill):
+        return jnp.pad(x, ((0, pad),), constant_values=fill)
+
+    fields = jnp.stack([
+        pad1(o[:, 0], 0.0), pad1(o[:, 1], 0.0), pad1(o[:, 2], 0.0),
+        pad1(d[:, 0], 1.0), pad1(d[:, 1], 0.0), pad1(d[:, 2], 0.0),
+        pad1(tmin, jnp.inf), pad1(tmax, -1.0),
+    ])
+    return fields.reshape(8, n_tiles, 1, RAYS).swapaxes(0, 1)
+
+
+def intersect_sweep(sph, bw, inst_flat, root, n_tris, n_groups,
+                    o, d, tmin, tmax, *, n_inst: int = 0,
+                    any_hit: bool = False, interpret: bool = False,
+                    with_stats: bool = False):
+    """MXU cull-sweep closest/any hit over 128-ray packets.
+
+    sph [8,Gp] f32, bw [12,Tp] f32, inst_flat [(I+1)*4] f32 (SMEM),
+    root [8] f32 (SMEM). Hit indices are instance * n_tris + triangle,
+    matching ops/bvh.py intersect_instances. with_stats returns per-tile
+    (instance sweeps, group tests) counters [n_tiles, 2]."""
+    n = o.shape[0]
+    rays = _rays_tiles(o, d, tmin, tmax)
+    n_tiles = rays.shape[0]
+    gp = sph.shape[1]
+
+    kernel = functools.partial(
+        _sweep_kernel, n_tris=n_tris, n_groups=n_groups,
+        n_inst=n_inst, occlusion=any_hit, with_stats=with_stats,
+    )
+    out_specs = [
+        pl.BlockSpec((1, 1, RAYS), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, RAYS), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles, 1, RAYS), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, 1, RAYS), jnp.int32),
+    ]
+    if with_stats:
+        out_specs.append(pl.BlockSpec((n_tiles, 2), lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, gp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bw.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(inst_flat.shape, lambda i: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(root.shape, lambda i: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 1, RAYS), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((8, gp), jnp.int32),
+            pltpu.VMEM((8, RAYS), jnp.float32),
+            pltpu.VMEM((8, RAYS), jnp.int32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(sph, bw, inst_flat, root, rays)
+
+    t = outs[0].reshape(-1)[:n]
+    idx = outs[1].reshape(-1)[:n]
+    hit = KindHit(t=t, index=idx, valid=jnp.isfinite(t))
+    if with_stats:
+        return hit, outs[2]
+    return hit

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..ops import bsdf as bsdf_ops
 from .pack import (
-    KIND_TRI, KIND_SPHERE, KIND_RECT, KIND_DISK,
+    KIND_TRI, KIND_SPHERE, KIND_RECT, KIND_DISK, KIND_INST,
     LIGHT_POINT, LIGHT_DIRECTIONAL, LIGHT_AREA, LIGHT_ENV,
     LightMeta, SceneMeta, ScenePack,
 )
@@ -202,10 +202,14 @@ class SceneBuilder:
         """Register ONE mesh rendered as many instances sharing one BVH.
 
         tris: [T,3,3] local-space vertex soup (+ optional uvs [T,3,2]);
-        instances: iterable of (offset, scale, mat) — the transforms the
-        reference applies per bunny copy (reference: src/main.cc:94-107,
+        instances: iterable of (offset, scale, mat) or
+        (offset, scale, mat, radiance) — the transforms the reference
+        applies per bunny copy (reference: src/main.cc:94-107,
         src/shape.cc:48-61), except the mesh+BVH are built once and shared
-        instead of duplicated per copy. Returns instance ids.
+        instead of duplicated per copy. A 4-tuple makes that instance an
+        EMISSIVE mesh: one area light over its whole surface (the batched
+        equivalent of the reference's per-triangle FAreaLight loop,
+        reference: src/scene.cc:79-89). Returns instance ids.
 
         One instanced mesh per scene (the tables are single BLAS); call once
         with all instances.
@@ -226,12 +230,25 @@ class SceneBuilder:
             tris=tris, n=n.astype(np.float32),
             uv=np.asarray(uvs, np.float32),
         )
-        for off, scale, mat in instances:
+        ids = []
+        for entry in instances:
+            off, scale, mat = entry[:3]
+            radiance = entry[3] if len(entry) > 3 else None
             assert float(scale) > 0.0, "instance scale must be positive"
+            inst_id = len(self._inst)
+            light_id = -1
+            if radiance is not None:
+                light_id = self._add_light(
+                    LightMeta(LIGHT_AREA, shape_kind=KIND_INST,
+                              shape_idx=inst_id),
+                    radiance,
+                )
             self._inst.append(
-                (np.asarray(off, np.float32), float(scale), int(mat), -1)
+                (np.asarray(off, np.float32), float(scale), int(mat),
+                 light_id)
             )
-        return list(range(len(self._inst)))
+            ids.append(inst_id)
+        return ids
 
     def add_sphere(self, center, radius: float, mat: int):
         self._sph.append([np.asarray(center, np.float32), float(radius), mat, -1])
@@ -461,15 +478,32 @@ class SceneBuilder:
             inst_mat = inst_mat[torder]
             inst_light = inst_light[torder]
             tlas_nodes = pack_node_table(tlas, len(torder), 1)
+            # instance rows were permuted: emissive-instance lights carry
+            # the instance id in shape_idx and must follow
+            inst_newpos = np.empty(len(torder), np.int64)
+            inst_newpos[np.asarray(torder)] = np.arange(len(torder))
+        else:
+            inst_newpos = np.zeros(0, np.int64)
+        # raw (unpadded, unordered) mesh table for emissive-instance light
+        # sampling — blas_tris pads leaves by duplicating triangles
+        inst_em_tris = np.zeros((0, 9), np.float32)
+        inst_em_n = np.zeros((0, 3), np.float32)
+        if n_inst and (inst_light >= 0).any():
+            m = self._inst_mesh
+            t0r = m["tris"][:, 0]
+            inst_em_tris = np.concatenate(
+                [t0r, m["tris"][:, 1] - t0r, m["tris"][:, 2] - t0r], axis=1
+            ).astype(np.float32)
+            inst_em_n = m["n"].astype(np.float32)
 
-        # Populate exactly one BVH *node* layout: the 8-wide tables for the
-        # Pallas distance-ordered packet kernel (TPU + fits VMEM), the
-        # binary row tables otherwise (XLA skip-link walk). Carrying both
-        # node layouts would double BVH HBM (VERDICT r1); the row triangle
-        # tables stay either way (the shading path reads them for
-        # barycentrics/normals, and they are small next to the node tables).
+        # Populate exactly one BVH layout: cull-sweep tables for the Pallas
+        # MXU kernel (TPU + fits VMEM), the binary row tables otherwise
+        # (XLA skip-link walk). Carrying both node layouts would double
+        # BVH HBM (VERDICT r1); the row triangle tables stay either way
+        # (the shading path reads them for barycentrics/normals, and they
+        # are small next to the node tables).
         import jax
-        from ..ops import wide_bvh as wide
+        from ..ops import sweep_bvh as sweep
         on_tpu = jax.default_backend() == "tpu"
         n_bvh_nodes = int(bvh_nodes.shape[0])
         n_bvh_tris = int(bvh_tris.shape[0])
@@ -477,46 +511,46 @@ class SceneBuilder:
         n_blas_tris = int(blas_tris.shape[0])
         n_tlas_nodes = int(tlas_nodes.shape[0])
 
-        def _empty_wide():
-            import ml_dtypes
-            ident = np.zeros((4,), np.float32)
-            ident[3] = 1.0
-            # placeholders match the kernel's expected layouts (meta -1 =
-            # empty slot — 0 is a valid template; tris leaf-major
-            # [9*leaf_size, 128]) even though they are only traced when the
-            # matching pallas_* flag is set (ADVICE r3 low)
-            return (np.zeros((6 * wide.WIDTH, 128), ml_dtypes.bfloat16),
-                    np.full((8 * wide.WIDTH,), -1, np.int32),
-                    np.zeros((9 * bvh_leaf_size, 128), np.float32),
-                    ident)
+        ident = sweep.flat_inst(np.zeros((0, 3), np.float32),
+                                np.zeros(0, np.float32))
 
-        bvh_w = _empty_wide()
-        inst_w = _empty_wide()
-        wide_blas_root = 0
+        def _empty_sweep():
+            return (np.zeros((8, 128), np.float32),
+                    np.zeros((12, 128), np.float32),
+                    np.zeros((8,), np.float32))
+
+        bvh_s = _empty_sweep()
+        inst_s = _empty_sweep()
+        inst_s_tbl = ident
+        n_groups_bvh = 0
+        n_groups_blas = 0
         pallas_bvh = False
         pallas_blas = False
-        if use_bvh and on_tpu and n_tri:
-            wb, wm, wt, wi, n_w, _root = wide.wide_tables(
-                bvh, bvh_tris, bvh_leaf_size)
-            if wide.fits_vmem(n_w, n_bvh_tris, bvh_leaf_size):
-                pallas_bvh = True
-                bvh_w = (wb, wm, wt, wi)
-                # the shading path never reads the soup's row MT table
-                # (unlike blas_tris), so drop both row tables here
-                bvh_nodes = np.zeros((0, 8), np.float32)
-                bvh_tris = np.zeros((0, 9), np.float32)
-        # >31 instances exceed the wide kernel's 5-bit instance-override
-        # field (ops/wide_bvh.py _templates) — route them to the XLA
-        # instanced walk instead of asserting at build (ADVICE r3 medium)
-        if n_inst and on_tpu and n_inst < 32:
-            wb, wm, wt, wi, n_w, wide_blas_root = wide.wide_tables_instanced(
-                tlas, blas, blas_tris, inst_off, inst_scale, bvh_leaf_size)
-            if wide.fits_vmem(n_w, n_blas_tris, bvh_leaf_size):
-                pallas_blas = True
-                inst_w = (wb, wm, wt, wi)
-                blas_nodes = np.zeros((0, 8), np.float32)
-            else:
-                wide_blas_root = 0
+        # the sweep's 10-bit group-id pack caps meshes at 1024 groups
+        # (131k tris); beyond that — or beyond VMEM — fall back to the
+        # XLA walk (HBM-streamed sweep is the planned upgrade path)
+        if (use_bvh and on_tpu and n_tri
+                and sweep.fits_vmem(n_bvh_tris)
+                and (n_bvh_tris + 127) // 128 <= sweep.max_groups()):
+            bw_t, sph_t, root_t, n_groups_bvh = sweep.build_sweep_tables(
+                bvh_tris)
+            pallas_bvh = True
+            bvh_s = (sph_t, bw_t, root_t)
+            # the shading path never reads the soup's row MT table
+            # (unlike blas_tris), so drop both row tables here
+            bvh_nodes = np.zeros((0, 8), np.float32)
+            bvh_tris = np.zeros((0, 9), np.float32)
+        # the sweep unrolls the instance loop at compile time; very large
+        # instance counts go to the XLA walk to bound compile size
+        if (n_inst and on_tpu and n_inst <= 32
+                and sweep.fits_vmem(n_blas_tris)
+                and (n_blas_tris + 127) // 128 <= sweep.max_groups()):
+            bw_t, sph_t, root_t, n_groups_blas = sweep.build_sweep_tables(
+                blas_tris)
+            pallas_blas = True
+            inst_s = (sph_t, bw_t, root_t)
+            inst_s_tbl = sweep.flat_inst(inst_off, inst_scale)
+            blas_nodes = np.zeros((0, 8), np.float32)
 
         lobe_map = {
             bsdf_ops.MAT_MATTE: (bsdf_ops.LOBE_LAMBERT,),
@@ -537,6 +571,9 @@ class SceneBuilder:
         for lm, c, _pos, _dir in self._lights:
             if prune_black_nee and float(np.abs(c).sum()) == 0.0:
                 lm = dataclasses.replace(lm, static_black=True)
+            if lm.kind == LIGHT_AREA and lm.shape_kind == KIND_INST:
+                lm = dataclasses.replace(
+                    lm, shape_idx=int(inst_newpos[lm.shape_idx]))
             light_metas.append(lm)
         meta = SceneMeta(
             name=self.name,
@@ -557,7 +594,8 @@ class SceneBuilder:
             n_tlas_nodes=n_tlas_nodes,
             pallas_bvh=pallas_bvh,
             pallas_blas=pallas_blas,
-            wide_blas_root=wide_blas_root,
+            n_groups_bvh=n_groups_bvh,
+            n_groups_blas=n_groups_blas,
             bvh_leaf_size=bvh_leaf_size,
         )
         pack = ScenePack(
@@ -584,10 +622,10 @@ class SceneBuilder:
             world_center=jnp.asarray(center, jnp.float32),
             world_radius=jnp.asarray(radius, jnp.float32),
             bvh_nodes=jnp.asarray(bvh_nodes), bvh_tris=jnp.asarray(bvh_tris),
-            bvh_w_bounds=jnp.asarray(bvh_w[0]),
-            bvh_w_meta=jnp.asarray(bvh_w[1]),
-            bvh_w_tris=jnp.asarray(bvh_w[2]),
-            bvh_w_inst=jnp.asarray(bvh_w[3]),
+            bvh_s_sph=jnp.asarray(bvh_s[0]),
+            bvh_s_bw=jnp.asarray(bvh_s[1]),
+            bvh_s_root=jnp.asarray(bvh_s[2]),
+            bvh_s_inst=jnp.asarray(ident),
             blas_nodes=jnp.asarray(blas_nodes),
             blas_tris=jnp.asarray(blas_tris),
             blas_n=jnp.asarray(blas_n), blas_uv=jnp.asarray(blas_uv),
@@ -596,10 +634,12 @@ class SceneBuilder:
             inst_mat=jnp.asarray(inst_mat),
             inst_light=jnp.asarray(inst_light),
             tlas_nodes=jnp.asarray(tlas_nodes),
-            inst_w_bounds=jnp.asarray(inst_w[0]),
-            inst_w_meta=jnp.asarray(inst_w[1]),
-            inst_w_tris=jnp.asarray(inst_w[2]),
-            inst_w_tbl=jnp.asarray(inst_w[3]),
+            inst_s_sph=jnp.asarray(inst_s[0]),
+            inst_s_bw=jnp.asarray(inst_s[1]),
+            inst_s_root=jnp.asarray(inst_s[2]),
+            inst_s_tbl=jnp.asarray(inst_s_tbl),
+            inst_em_tris=jnp.asarray(inst_em_tris),
+            inst_em_n=jnp.asarray(inst_em_n),
         )
         assert self.camera is not None, "scene needs a camera"
         return Scene(meta=meta, pack=pack, camera=self.camera)

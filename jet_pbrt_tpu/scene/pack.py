@@ -79,16 +79,16 @@ class SceneMeta:
     n_blas_nodes: int = 0
     n_blas_tris: int = 0
     n_tlas_nodes: int = 0
-    # whether traversal should take the Pallas wide packet kernel (decided
+    # whether traversal should take the Pallas cull-sweep kernel (decided
     # at build time: TPU backend + tables fit VMEM; the builder only
     # populates the matching table layout, so this is also a memory-layout
     # contract)
     pallas_bvh: bool = False
     pallas_blas: bool = False
-    # node index of the shared-BLAS root inside the merged wide table
-    # (= number of TLAS wide nodes; ops/wide_bvh.py wide_tables_instanced)
-    wide_blas_root: int = 0
-    # triangles per BVH leaf (static unroll factor in the traversal kernels)
+    # 128-tri cull-group counts for the sweep kernel (ops/sweep_bvh.py)
+    n_groups_bvh: int = 0
+    n_groups_blas: int = 0
+    # triangles per BVH leaf (static unroll factor in the XLA walk)
     bvh_leaf_size: int = 4
 
     @property
@@ -158,15 +158,14 @@ class ScenePack(NamedTuple):
     #   bvh_tris[T', 9] = p0.xyz, e1.xyz, e2.xyz (MT-ready edges)
     bvh_nodes: jnp.ndarray      # [B,8] f32
     bvh_tris: jnp.ndarray       # [T',9] f32
-    # 8-wide BVH tables for the Pallas distance-ordered packet kernel
-    # (ops/wide_bvh.py): planar bounds with the node axis lane-padded, an
-    # int32 child-meta side table (SMEM), and the lane-planar MT triangle
-    # table. Exactly ONE of the row/wide layouts is populated per build
+    # cull-sweep tables for the Pallas MXU kernel (ops/sweep_bvh.py):
+    # Baldwin-Weber triangle rows + per-128-tri-group bounding spheres.
+    # Exactly ONE of the row/sweep layouts is populated per build
     # (meta.pallas_bvh) — carrying both would double BVH HBM for big meshes.
-    bvh_w_bounds: jnp.ndarray   # [48,Np] f32
-    bvh_w_meta: jnp.ndarray     # [Nm*8] i32 flat (SMEM side table)
-    bvh_w_tris: jnp.ndarray     # [9,Tp] f32
-    bvh_w_inst: jnp.ndarray     # [4,128] f32 identity instance row
+    bvh_s_sph: jnp.ndarray      # [8,Gp] f32 group spheres
+    bvh_s_bw: jnp.ndarray       # [12,Tp] f32 Baldwin-Weber rows
+    bvh_s_root: jnp.ndarray     # [8] f32 mesh sphere (SMEM)
+    bvh_s_inst: jnp.ndarray     # [4] f32 identity instance row (SMEM)
     # instanced-mesh subsystem: ONE shared BLAS (bottom-level BVH over the
     # mesh in local space) + a per-instance table + a TLAS over instance
     # world bounds. Instance transform is (uniform scale, translation).
@@ -180,11 +179,18 @@ class ScenePack(NamedTuple):
     inst_light: jnp.ndarray     # [I] int32, -1 = not emissive
     tlas_nodes: jnp.ndarray     # [K,8] top-level skip-link tree; leaf code
                                 #   = instance * 8 + 1
-    # merged TLAS+BLAS 8-wide tables for the Pallas kernel (ops/wide_bvh.py)
-    inst_w_bounds: jnp.ndarray  # [48,Np] f32
-    inst_w_meta: jnp.ndarray    # [Nm*8] i32 flat (SMEM side table)
-    inst_w_tris: jnp.ndarray    # [9,Tp] f32
-    inst_w_tbl: jnp.ndarray     # [4,Ip] f32 (off.xyz, scale)
+    # shared-BLAS cull-sweep tables for the Pallas kernel (ops/sweep_bvh.py)
+    inst_s_sph: jnp.ndarray     # [8,Gp] f32 group spheres (local space)
+    inst_s_bw: jnp.ndarray      # [12,Tp] f32 Baldwin-Weber rows
+    inst_s_root: jnp.ndarray    # [8] f32 BLAS sphere (SMEM)
+    inst_s_tbl: jnp.ndarray     # [(I+1)*4] f32 flat (off.xyz, scale) (SMEM)
+    # emissive-instance light-sampling table: the RAW local mesh, exactly
+    # one row per real triangle. blas_tris cannot be used for sampling:
+    # the BVH build pads leaves by DUPLICATING triangles, which would
+    # double-cover their surface and bias the area pdf. Empty unless some
+    # instance carries a light.
+    inst_em_tris: jnp.ndarray   # [Traw,9] f32 (p0, e1, e2)
+    inst_em_n: jnp.ndarray      # [Traw,3] f32 unit normals
 
 
 class Hit(NamedTuple):
@@ -205,18 +211,20 @@ def _kind_hits(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax,
     traced (static dispatch — array sizes are trace-time constants).
 
     BVH routing is decided at build time (meta.pallas_bvh/pallas_blas: TPU
-    backend + tables fit VMEM -> Pallas packet kernel; otherwise the pure-XLA
-    skip-link walk). Both paths produce identical hits. any_hit=True is the
-    occlusion variant: only `valid` is meaningful in the BVH kinds' results."""
+    backend + tables fit VMEM -> Pallas cull-sweep kernel; otherwise the
+    pure-XLA skip-link walk). Both paths produce identical hits (up to
+    Baldwin-Weber vs Moller-Trumbore rounding). any_hit=True is the
+    occlusion variant: only `valid` is meaningful in the BVH kinds'
+    results."""
     hits, kinds = [], []
     if meta.n_tri:
         if meta.use_bvh:
             if meta.pallas_bvh:
-                from ..ops import wide_bvh
-                hits.append(wide_bvh.intersect_wide(
-                    pack.bvh_w_meta, pack.bvh_w_bounds, pack.bvh_w_tris,
-                    pack.bvh_w_inst, meta.n_bvh_tris, o, d, tmin, tmax,
-                    leaf_size=meta.bvh_leaf_size, any_hit=any_hit,
+                from ..ops import sweep_bvh
+                hits.append(sweep_bvh.intersect_sweep(
+                    pack.bvh_s_sph, pack.bvh_s_bw, pack.bvh_s_inst,
+                    pack.bvh_s_root, meta.n_bvh_tris, meta.n_groups_bvh,
+                    o, d, tmin, tmax, any_hit=any_hit,
                 ))
             else:
                 from ..ops import bvh as bvh_ops
@@ -233,13 +241,11 @@ def _kind_hits(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax,
         kinds.append(KIND_TRI)
     if meta.n_inst:
         if meta.pallas_blas:
-            from ..ops import wide_bvh
-            hits.append(wide_bvh.intersect_wide(
-                pack.inst_w_meta, pack.inst_w_bounds, pack.inst_w_tris,
-                pack.inst_w_tbl, meta.n_blas_tris, o, d, tmin, tmax,
-                leaf_size=meta.bvh_leaf_size,
-                blas_root=meta.wide_blas_root, has_inst=True,
-                any_hit=any_hit,
+            from ..ops import sweep_bvh
+            hits.append(sweep_bvh.intersect_sweep(
+                pack.inst_s_sph, pack.inst_s_bw, pack.inst_s_tbl,
+                pack.inst_s_root, meta.n_blas_tris, meta.n_groups_blas,
+                o, d, tmin, tmax, n_inst=meta.n_inst, any_hit=any_hit,
             ))
         else:
             from ..ops import bvh as bvh_ops

@@ -50,6 +50,24 @@ def main():
     )
     print("bunny golden mean", img.mean())
 
+    # fast-tier exact-seed smoke golden: 16x16 / 8 spp on CPU — committed
+    # so the DEFAULT test tier (pytest -m "not slow") catches estimator
+    # regressions per-iteration without waiting for the converged goldens.
+    # MUST be generated on CPU (tests/conftest.py forces the CPU backend
+    # for the default tier, and the comparison is near-bitwise).
+    import jax
+    if jax.default_backend() != "cpu":
+        print("skipping fast smoke golden (needs the CPU backend)")
+        return
+    img = np.asarray(
+        render(cornell_box(), 16, 16, spp=8, seed=42, max_depth=5)
+    )
+    np.savez_compressed(
+        os.path.join(OUT, "cornell_smoke_16.npz"),
+        img=img.astype(np.float32), spp=8, seed=42, max_depth=5,
+    )
+    print("cornell smoke golden mean", img.mean())
+
 
 if __name__ == "__main__":
     main()

@@ -62,6 +62,24 @@ def test_stratified_sampler_lower_variance():
     assert abs(a.mean() - b.mean()) / a.mean() < 0.1
 
 
+def test_cornell_smoke_golden_fast_tier():
+    """FAST-tier estimator gate (runs in the default `-m "not slow"` tier):
+    exact-seed 16x16/8spp CPU render vs the committed smoke golden. Any
+    light-transport change — a flipped NEE weight, a broken normal, an RNG
+    stream shift — moves pixels by far more than the 1e-4 tolerance; pure
+    refactors keep it bit-stable. Regenerate via scripts/make_goldens.py
+    (CPU) only on INTENTIONAL estimator changes, and re-check the slow-tier
+    converged goldens when you do."""
+    import jax
+    if jax.default_backend() != "cpu":
+        pytest.skip("exact-seed smoke golden is CPU-deterministic only")
+    ref = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                               "cornell_smoke_16.npz"))
+    img = np.asarray(render(cornell_box(), 16, 16, spp=8, seed=42,
+                            max_depth=5))
+    np.testing.assert_allclose(img, ref["img"], rtol=1e-4, atol=1e-5)
+
+
 def test_debug_sampler_deterministic():
     s = cornell_box(lambert_only=True, use_bvh=False)
     a = render(s, 8, 8, spp=2, sampler="debug", seed=1, clamp=False)

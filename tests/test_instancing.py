@@ -73,3 +73,71 @@ def test_instance_materials_resolve(scenes):
     img = render(s_inst, 32, 32, spp=4, seed=1, max_depth=2, clamp=False)
     assert np.all(np.isfinite(img))
     assert img.mean() > 0.01
+
+
+def _build_emissive(instanced: bool):
+    """A small emissive panel mesh (2 tris) instanced twice over a diffuse
+    floor — the reference's CreateAreaLights-over-a-mesh case
+    (reference: src/scene.cc:79-97)."""
+    panel = np.array([
+        [[-1, 3, -1], [1, 3, -1], [1, 3, 1]],
+        [[-1, 3, -1], [1, 3, 1], [-1, 3, 1]],
+    ], np.float32)
+    b = SceneBuilder("em_inst" if instanced else "em_flat")
+    b.set_camera(lookfrom=(0, 0.6, 8), lookat=(0, 1.2, 0), vfov=60)
+    grey = b.add_matte((0.5, 0.5, 0.5))
+    white = b.add_matte((0.73, 0.73, 0.73))
+    b.add_rect_xz(-6, 6, -6, 6, 0, grey)
+    rad = (8.0, 6.0, 4.0)
+    placed = [((-1.5, 0, 0), 0.6, white, rad), ((1.8, 0.4, 0), 0.4, white, rad)]
+    if instanced:
+        b.add_instanced_mesh(panel, placed)
+    else:
+        for off, s, m, r in placed:
+            refs = b.add_mesh(panel, m, offset=off, scale=s)
+            b.add_area_light_mesh(refs, r)
+    return b.build(use_bvh=False)
+
+
+def test_emissive_instance_matches_flattened():
+    """An emissive instance must light the scene like the same panels
+    flattened into per-triangle area lights (both estimators are unbiased
+    for direct light, so converged images agree)."""
+    a = np.asarray(render(_build_emissive(True), 24, 24, spp=768, seed=3,
+                          max_depth=2))
+    bimg = np.asarray(render(_build_emissive(False), 24, 24, spp=768, seed=5,
+                             max_depth=2))
+    assert np.isfinite(a).all() and np.isfinite(bimg).all()
+    assert a.mean() > 1e-3
+    # global energy parity
+    assert abs(a.mean() - bimg.mean()) / bimg.mean() < 0.06, (
+        a.mean(), bimg.mean())
+    # region-level parity (direct lighting dominates at depth 2)
+    a4 = a.reshape(6, 4, 6, 4, 3).mean((1, 3))
+    b4 = bimg.reshape(6, 4, 6, 4, 3).mean((1, 3))
+    scale = b4.mean()
+    assert (np.abs(a4 - b4) <= np.maximum(0.2 * b4, 0.2 * scale)).all(), (
+        np.abs(a4 - b4).max() / scale)
+
+
+def test_emissive_instance_visible_directly():
+    """Rays that hit the emissive instance see its radiance: emitted()
+    resolves inst_light through the TLAS instance permutation."""
+    import jax.numpy as jnp
+    from jet_pbrt_tpu.scene import pack as scene_pack
+
+    s = _build_emissive(True)
+    # straight up under each panel: hits the emitting (-y) face
+    o = jnp.asarray([[-1.5, 0.01, 0.0], [1.8, 0.41, 0.0],
+                     [5.0, 0.01, 5.0]], jnp.float32)
+    d = jnp.asarray([[0, 1, 0], [0, 1, 0], [0, 1, 0]], jnp.float32)
+    tmin = jnp.full((3,), 1e-3)
+    tmax = jnp.full((3,), jnp.inf)
+    hit = scene_pack.intersect(s.meta, s.pack, o, d, tmin, tmax)
+    le = np.asarray(scene_pack.emitted(s.pack, hit))
+    assert np.asarray(hit.valid)[0] and np.asarray(hit.valid)[1]
+    assert np.asarray(hit.light_id)[0] >= 0
+    assert np.asarray(hit.light_id)[1] >= 0
+    np.testing.assert_allclose(le[0], [8.0, 6.0, 4.0], rtol=1e-5)
+    np.testing.assert_allclose(le[1], [8.0, 6.0, 4.0], rtol=1e-5)
+    assert not np.asarray(hit.valid)[2] or np.asarray(hit.light_id)[2] < 0

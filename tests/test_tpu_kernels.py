@@ -1,11 +1,10 @@
-"""On-chip (non-interpret) Pallas wide-BVH regression tests.
+"""On-chip (non-interpret) Pallas cull-sweep regression tests.
 
 These run the REAL pltpu lowering at bunny scale and assert parity with the
 XLA skip-link walk — the class of bug they pin down is on-chip-only
-numerics/control-flow divergence (e.g. the bf16 miss-link rounding hang,
-commit 084c54d) that interpret-mode tests (tests/test_wide_bvh.py) cannot
-see. They skip unless JAX has a real TPU backend; run them in the bench
-environment with:
+numerics/control-flow divergence that interpret-mode tests
+(tests/test_sweep.py) cannot see. They skip unless JAX has a real TPU
+backend; run them in the bench environment with:
 
     JET_TPU_TESTS=1 python -m pytest tests/test_tpu_kernels.py -q
 
@@ -24,24 +23,12 @@ pytestmark = pytest.mark.skipif(
 )
 
 from jet_pbrt_tpu.ops.bvh import (   # noqa: E402
-    build_bvh, build_box_bvh, pack_node_table, intersect_bvh,
-    intersect_instances,
+    build_bvh, pack_node_table, intersect_bvh, intersect_instances,
 )
-from jet_pbrt_tpu.ops import wide_bvh as W   # noqa: E402
+from jet_pbrt_tpu.ops import sweep_bvh as S   # noqa: E402
 
 
-def _single_tables(tris, leaf):
-    p0, p1, p2 = tris[:, 0], tris[:, 1], tris[:, 2]
-    bvh, order = build_bvh(p0, p1, p2, leaf_size=leaf)
-    p0, p1, p2 = p0[order], p1[order], p2[order]
-    mt = np.concatenate([p0, p1 - p0, p2 - p0], axis=1).astype(np.float32)
-    nodes = pack_node_table(bvh, len(order), leaf)
-    wb, wm, wt, wi, _, _ = W.wide_tables(bvh, mt, leaf)
-    return jnp.asarray(nodes), jnp.asarray(mt), (
-        jnp.asarray(wb), jnp.asarray(wm), jnp.asarray(wt), jnp.asarray(wi))
-
-
-def _bunny_tris():
+def _bunny_mt(leaf=16):
     from jet_pbrt_tpu.scene import objio
     from jet_pbrt_tpu.scene.scenes import ASSET_DIR
 
@@ -51,7 +38,13 @@ def _bunny_tris():
         os.makedirs(os.path.dirname(path), exist_ok=True)
         generate_bunny_obj(path)
     tris, _ = objio.load_obj(path)
-    return np.asarray(tris, np.float32)
+    tris = np.asarray(tris, np.float32)
+    p0, p1, p2 = tris[:, 0], tris[:, 1], tris[:, 2]
+    bvh, order = build_bvh(p0, p1, p2, leaf_size=leaf)
+    p0, p1, p2 = p0[order], p1[order], p2[order]
+    mt = np.concatenate([p0, p1 - p0, p2 - p0], axis=1).astype(np.float32)
+    nodes = pack_node_table(bvh, len(order), leaf)
+    return mt, nodes, leaf
 
 
 def _mixed_rays(n, lookfrom=(-0.6, 0.8, -0.6), seed=0):
@@ -72,52 +65,57 @@ def _mixed_rays(n, lookfrom=(-0.6, 0.8, -0.6), seed=0):
             jnp.full((n,), jnp.inf, jnp.float32))
 
 
-def test_onchip_single_level_wide_matches_xla():
-    """Real-kernel single-BVH wide traversal parity on the ~66k-tri bunny
-    mesh (local space)."""
-    leaf = 8
-    nodes, mt, (wb, wm, wt, wi) = _single_tables(_bunny_tris(), leaf)
-    n = 4 * W.TILE + 33
+def test_onchip_sweep_matches_xla():
+    """Real-kernel cull-sweep parity on the ~66k-tri bunny (local space),
+    closest hit AND finite-tmax occlusion."""
+    mt, nodes, leaf = _bunny_mt()
+    bw, sph, root, ng = S.build_sweep_tables(mt)
+    inst = S.flat_inst(np.zeros((0, 3), np.float32), np.zeros(0, np.float32))
+    n = 4 * S.RAYS + 33
     o, d, tmin, tmax = _mixed_rays(n)
-    h_w = W.intersect_wide(wm, wb, wt, wi, mt.shape[0], o, d, tmin, tmax,
-                           leaf_size=leaf)
-    h_x = intersect_bvh(nodes, mt, o, d, tmin, tmax, leaf_size=leaf)
-    assert np.array_equal(np.asarray(h_w.valid), np.asarray(h_x.valid))
-    ok = np.asarray(h_w.valid)
+    h_s = S.intersect_sweep(jnp.asarray(sph), jnp.asarray(bw),
+                            jnp.asarray(inst), jnp.asarray(root),
+                            mt.shape[0], ng, o, d, tmin, tmax)
+    h_x = intersect_bvh(jnp.asarray(nodes), jnp.asarray(mt), o, d,
+                        tmin, tmax, leaf_size=leaf)
+    assert np.array_equal(np.asarray(h_s.valid), np.asarray(h_x.valid))
+    ok = np.asarray(h_s.valid)
     assert ok.sum() > 500
     np.testing.assert_allclose(
-        np.asarray(h_w.t)[ok], np.asarray(h_x.t)[ok], rtol=1e-4, atol=1e-4
+        np.asarray(h_s.t)[ok], np.asarray(h_x.t)[ok], rtol=1e-4, atol=1e-4
     )
-    assert np.array_equal(
-        np.asarray(h_w.index)[ok], np.asarray(h_x.index)[ok]
-    )
+    # index parity: allow flips only where two triangles nearly tie
+    same = np.asarray(h_s.index)[ok] == np.asarray(h_x.index)[ok]
+    assert same.mean() > 0.999
+
+    # occlusion with the light just past / just short of the hit
+    t_ref = np.asarray(h_x.t)
+    tmax_short = jnp.where(jnp.asarray(ok), jnp.asarray(t_ref) * 0.9, 0.1)
+    h_o = S.intersect_sweep(jnp.asarray(sph), jnp.asarray(bw),
+                            jnp.asarray(inst), jnp.asarray(root),
+                            mt.shape[0], ng, o, d, tmin, tmax_short,
+                            any_hit=True)
+    assert not np.asarray(h_o.valid).any()
+    tmax_long = jnp.where(jnp.asarray(ok), jnp.asarray(t_ref) * 1.1, -1.0)
+    h_o2 = S.intersect_sweep(jnp.asarray(sph), jnp.asarray(bw),
+                             jnp.asarray(inst), jnp.asarray(root),
+                             mt.shape[0], ng, o, d, tmin, tmax_long,
+                             any_hit=True)
+    assert np.array_equal(np.asarray(h_o2.valid), ok)
 
 
-def test_onchip_instanced_wide_matches_xla():
-    """Real-kernel merged TLAS/BLAS wide traversal == XLA per-instance walk
-    at the bunny scene's scale (4 instances of the shared ~66k-tri BLAS)."""
-    leaf = 8
-    tris = _bunny_tris()
-    p0, p1, p2 = tris[:, 0], tris[:, 1], tris[:, 2]
-    blas, order = build_bvh(p0, p1, p2, leaf_size=leaf)
-    p0, p1, p2 = p0[order], p1[order], p2[order]
-    mt = np.concatenate([p0, p1 - p0, p2 - p0], axis=1).astype(np.float32)
-    blas_nodes = pack_node_table(blas, len(order), leaf)
-
+def test_onchip_instanced_sweep_matches_xla():
+    """Real-kernel instanced sweep == XLA per-instance walk at the bunny
+    scene's scale (4 instances of the shared ~66k-tri BLAS)."""
+    mt, blas_nodes, leaf = _bunny_mt()
     inst_off = np.array([[0, 0, 0], [-100, 0, -100], [0, 0, -100],
                          [-100, 0, 0]], np.float32)
     inst_scale = np.array([500.0, 500.0, 500.0, 500.0], np.float32)
-    root_lo, root_hi = blas_nodes[0, :3], blas_nodes[0, 3:6]
-    ib_lo = root_lo[None] * inst_scale[:, None] + inst_off
-    ib_hi = root_hi[None] * inst_scale[:, None] + inst_off
-    tlas, torder = build_box_bvh(ib_lo, ib_hi, leaf_size=1)
-    inst_off, inst_scale = inst_off[torder], inst_scale[torder]
-    wb, wm, wt, wi, _, blas_root = W.wide_tables_instanced(
-        tlas, blas, mt, inst_off, inst_scale, leaf)
+    bw, sph, root, ng = S.build_sweep_tables(mt)
+    inst = S.flat_inst(inst_off, inst_scale)
 
-    n = 4 * W.TILE
+    n = 4 * S.RAYS
     o, d, tmin, tmax = _mixed_rays(n, lookfrom=(-300, 300, -300), seed=3)
-    # retarget the coherent half at the instanced copies
     rng = np.random.default_rng(4)
     targets = rng.uniform(-150, 100, (n, 3)).astype(np.float32) * [1, 0.5, 1]
     d = jnp.asarray(targets) - o
@@ -128,25 +126,24 @@ def test_onchip_instanced_wide_matches_xla():
         jnp.asarray(blas_nodes), jnp.asarray(mt), o, d, tmin, tmax,
         leaf_size=leaf,
     )
-    h_w = W.intersect_wide(
-        jnp.asarray(wm), jnp.asarray(wb), jnp.asarray(wt), jnp.asarray(wi),
-        mt.shape[0], o, d, tmin, tmax, leaf_size=leaf,
-        blas_root=blas_root, has_inst=True,
-    )
+    h_s = S.intersect_sweep(jnp.asarray(sph), jnp.asarray(bw),
+                            jnp.asarray(inst), jnp.asarray(root),
+                            mt.shape[0], ng, o, d, tmin, tmax, n_inst=4)
     va = np.asarray(h_x.valid)
     assert va.sum() > 500
-    assert np.array_equal(va, np.asarray(h_w.valid))
+    assert np.array_equal(va, np.asarray(h_s.valid))
     np.testing.assert_allclose(
-        np.asarray(h_w.t)[va], np.asarray(h_x.t)[va], rtol=1e-4, atol=1e-3
+        np.asarray(h_s.t)[va], np.asarray(h_x.t)[va], rtol=1e-4, atol=1e-3
     )
     assert np.array_equal(
-        np.asarray(h_w.index)[va], np.asarray(h_x.index)[va]
+        np.asarray(h_s.index)[va] // mt.shape[0],
+        np.asarray(h_x.index)[va] // mt.shape[0],
     )
 
 
 def test_onchip_bunny_render_finite():
     """One full shaded wave on-chip through whatever backend the scene pack
-    selected (Pallas wide kernel on TPU): finite, non-black — guards the
+    selected (Pallas cull-sweep on TPU): finite, non-black — guards the
     whole compiled path, not just traversal."""
     from jet_pbrt_tpu.scene.scenes import bunny_scene
     from jet_pbrt_tpu.models.render import render
