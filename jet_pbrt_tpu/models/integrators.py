@@ -91,7 +91,7 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
     for bounce in range(max_depth + 1):
         # dead lanes trace nothing: tmin=+inf / tmax=-1 fails every slab and
         # primitive test outright, so the BVH walks drop them in one step
-        tmin = jnp.where(active, RAY_EPS, jnp.inf)
+        tmin = jnp.where(active, pack.ray_eps, jnp.inf)
         tmax = jnp.where(active, jnp.inf, -1.0)
         hit = scene_pack.intersect(meta, pack, ray_o, ray_d, tmin, tmax)
         n_rays = n_rays + jnp.sum(active.astype(jnp.float32))
@@ -153,7 +153,8 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
             )
             wi_local = to_local(frame, _sg(ls.wi))
             f = bsdf_ops.eval_f(lobe, wo_local, wi_local,
-                                lobes=meta.present_lobes)
+                                lobes=meta.present_lobes,
+                                mf_kinds=meta.present_mf_kinds)
             useful = (
                 cont
                 & ~delta
@@ -167,7 +168,8 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
             n_rays = n_rays + jnp.sum(useful.astype(jnp.float32))
             if mis and not scene_pack.light_is_delta(meta, li_idx):
                 pb = bsdf_ops.pdf(lobe, wo_local, wi_local,
-                                  lobes=meta.present_lobes)
+                                  lobes=meta.present_lobes,
+                                  mf_kinds=meta.present_mf_kinds)
                 w_l = power_heuristic(1.0, _sg(ls.pdf), 1.0, _sg(pb))
             else:
                 w_l = 1.0
@@ -183,7 +185,8 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
 
         # -- BSDF sampling (reference: src/integrator.cc:375-379) ----------
         bs = bsdf_ops.sample(lobe, wo_local, rng.stream_bsdf(u_vertex, nl),
-                             lobes=meta.present_lobes)
+                             lobes=meta.present_lobes,
+                             mf_kinds=meta.present_mf_kinds)
         wi_world = _sg(to_world(frame, bs.wi))
         pdf_b = _sg(bs.pdf)
         sample_ok = (pdf_b > 0.0) & ~is_black(bs.f)
@@ -239,7 +242,7 @@ def li_debug_normal(meta, pack, o, d):
     """Normal visualization (reference: src/integrator.h:44-58):
     abs(normal) on hit, black on miss."""
     n = o.shape[0]
-    tmin = jnp.full((n,), RAY_EPS, jnp.float32)
+    tmin = jnp.full((n,), 1.0, jnp.float32) * pack.ray_eps
     tmax = jnp.full((n,), jnp.inf, jnp.float32)
     hit = scene_pack.intersect(meta, pack, o, d, tmin, tmax)
     return jnp.where(hit.valid[:, None], jnp.abs(hit.normal), 0.0)
@@ -261,7 +264,7 @@ def li_whitted(meta, pack, o, d, u, max_depth: int):
     ray_o, ray_d = o, d
 
     for bounce in range(max_depth + 1):
-        tmin = jnp.where(active, RAY_EPS, jnp.inf)
+        tmin = jnp.where(active, pack.ray_eps, jnp.inf)
         tmax = jnp.where(active, jnp.inf, -1.0)
         hit = scene_pack.intersect(meta, pack, ray_o, ray_d, tmin, tmax)
         le_hit = scene_pack.emitted(pack, hit)
@@ -294,7 +297,8 @@ def li_whitted(meta, pack, o, d, u, max_depth: int):
             )
             wi_local = to_local(frame, _sg(ls.wi))
             f = bsdf_ops.eval_f(lobe, wo_local, wi_local,
-                                lobes=meta.present_lobes)
+                                lobes=meta.present_lobes,
+                                mf_kinds=meta.present_mf_kinds)
             useful = cont & ~delta & (_sg(ls.pdf) > 0.0) & ~is_black(ls.li) & ~is_black(f)
             occ = scene_pack.occluded(meta, pack, hit.position, _sg(ls.pos),
                                       mask=useful)
@@ -304,7 +308,8 @@ def li_whitted(meta, pack, o, d, u, max_depth: int):
             L = L + jnp.where((useful & ~occ)[:, None], contrib, 0.0)
 
         bs = bsdf_ops.sample(lobe, wo_local, rng.stream_bsdf(u_vertex, nl),
-                             lobes=meta.present_lobes)
+                             lobes=meta.present_lobes,
+                             mf_kinds=meta.present_mf_kinds)
         wi_world = _sg(to_world(frame, bs.wi))
         pdf_b = _sg(bs.pdf)
         # continue only through specular lobes (reference: src/integrator.cc:171-220)

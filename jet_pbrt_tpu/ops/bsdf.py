@@ -214,7 +214,7 @@ def _microfacet_fresnel(lobe: Lobe, cos_i):
     return jnp.where(lobe.fr_conductor[..., None], f_cond, f_diel)
 
 
-def _eval_microfacet(lobe: Lobe, wo, wi):
+def _eval_microfacet(lobe: Lobe, wo, wi, mf_kinds=None):
     """Torrance-Sparrow (reference: src/bsdf.cc:35-50)."""
     cos_o = jnp.abs(wo[..., 2])
     cos_i = jnp.abs(wi[..., 2])
@@ -223,19 +223,19 @@ def _eval_microfacet(lobe: Lobe, wo, wi):
     wh = normalize(wh_raw)
     wh_ff = face_forward(wh, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], wh.dtype), wh.shape))
     fr = _microfacet_fresnel(lobe, dot(wi, wh_ff))
-    d_term = mf.d(lobe.mf_kind, wh, lobe.a0, lobe.a1)
-    g_term = mf.g(lobe.mf_kind, wo, wi, lobe.a0, lobe.a1)
+    d_term = mf.d(lobe.mf_kind, wh, lobe.a0, lobe.a1, mf_kinds)
+    g_term = mf.g(lobe.mf_kind, wo, wi, lobe.a0, lobe.a1, mf_kinds)
     f = lobe.f0 * (d_term * g_term)[..., None] * fr / jnp.maximum(
         4.0 * cos_i * cos_o, 1e-12
     )[..., None]
     return jnp.where(degenerate[..., None], 0.0, f)
 
 
-def _pdf_microfacet(lobe: Lobe, wo, wi):
+def _pdf_microfacet(lobe: Lobe, wo, wi, mf_kinds=None):
     """(reference: src/bsdf.cc:52-57)"""
     ok = _same_hemisphere(wo, wi)
     wh = normalize(wo + wi)
-    p = mf.pdf_wh(lobe.mf_kind, wo, wh, lobe.a0, lobe.a1) / jnp.maximum(
+    p = mf.pdf_wh(lobe.mf_kind, wo, wh, lobe.a0, lobe.a1, mf_kinds) / jnp.maximum(
         4.0 * dot(wo, wh), 1e-12
     )
     return jnp.where(ok & (dot(wo, wh) > 0.0), p, 0.0)
@@ -249,7 +249,7 @@ def _trans_eta(lobe: Lobe, wo):
     return jnp.where(wo[..., 2] > 0.0, eta_b / eta_a, eta_a / eta_b)
 
 
-def _eval_microfacet_trans(lobe: Lobe, wo, wi):
+def _eval_microfacet_trans(lobe: Lobe, wo, wi, mf_kinds=None):
     """Walter-style transmissive microfacet (reference: src/bsdf.cc:85-110)."""
     cos_o = wo[..., 2]
     cos_i = wi[..., 2]
@@ -265,8 +265,8 @@ def _eval_microfacet_trans(lobe: Lobe, wo, wi):
     )
     fr = fresnel_dielectric(dot_o, lobe.fr_eta_i, lobe.fr_eta_t)
     sqrt_denom = dot_o + eta * dot_i
-    d_term = mf.d(lobe.mf_kind, wh, lobe.a0, lobe.a1)
-    g_term = mf.g(lobe.mf_kind, wo, wi, lobe.a0, lobe.a1)
+    d_term = mf.d(lobe.mf_kind, wh, lobe.a0, lobe.a1, mf_kinds)
+    g_term = mf.g(lobe.mf_kind, wo, wi, lobe.a0, lobe.a1, mf_kinds)
     factor = 1.0 / jnp.maximum(eta, 1e-6)
     mag = jnp.abs(
         d_term * g_term * eta * eta * jnp.abs(dot_i) * jnp.abs(dot_o)
@@ -277,7 +277,7 @@ def _eval_microfacet_trans(lobe: Lobe, wo, wi):
     return jnp.where(invalid[..., None], 0.0, f)
 
 
-def _pdf_microfacet_trans(lobe: Lobe, wo, wi):
+def _pdf_microfacet_trans(lobe: Lobe, wo, wi, mf_kinds=None):
     """(reference: src/bsdf.cc:112-126)"""
     eta = _trans_eta(lobe, wo)
     wh = normalize(wo + wi * eta[..., None])
@@ -288,15 +288,15 @@ def _pdf_microfacet_trans(lobe: Lobe, wo, wi):
     dwh_dwi = jnp.abs(eta * eta * dot_i) / jnp.maximum(sqrt_denom * sqrt_denom, 1e-12)
     # pdf_wh expects wh in the +z hemisphere relative to wo's side
     wh_up = jnp.where((wh[..., 2] < 0.0)[..., None], -wh, wh)
-    p = mf.pdf_wh(lobe.mf_kind, wo, wh_up, lobe.a0, lobe.a1) * dwh_dwi
+    p = mf.pdf_wh(lobe.mf_kind, wo, wh_up, lobe.a0, lobe.a1, mf_kinds) * dwh_dwi
     return jnp.where(invalid, 0.0, p)
 
 
-def _sample_microfacet_trans(lobe: Lobe, wo, u):
+def _sample_microfacet_trans(lobe: Lobe, wo, u, mf_kinds=None):
     """(reference: src/bsdf.cc:128-145)"""
     from .linalg import refract as _refract
 
-    wh = mf.sample_wh(lobe.mf_kind, wo, lobe.a0, lobe.a1, u)
+    wh = mf.sample_wh(lobe.mf_kind, wo, lobe.a0, lobe.a1, u, mf_kinds)
     eta_s = jnp.where(
         wo[..., 2] > 0.0,
         lobe.fr_eta_i / lobe.fr_eta_t,
@@ -341,13 +341,16 @@ ALL_LOBES = (LOBE_LAMBERT, LOBE_SPECULAR, LOBE_FRESNEL, LOBE_MICROFACET,
              LOBE_PHONG, LOBE_MICROFACET_TRANS)
 
 
-def eval_f(lobe: Lobe, wo, wi, lobes=None) -> jnp.ndarray:
+def eval_f(lobe: Lobe, wo, wi, lobes=None, mf_kinds=None) -> jnp.ndarray:
     """World-free local-frame f; delta lobes evaluate to 0
     (reference: src/bsdf.h:405-413, 470-478).
 
     `lobes` — optional static tuple of lobe kinds that can occur in the
     scene (SceneMeta.present_lobes); branches for absent kinds are skipped
-    at trace time, a large win for scenes using few material kinds."""
+    at trace time, a large win for scenes using few material kinds.
+    `mf_kinds` — the analogous static tuple of microfacet distribution
+    kinds (SceneMeta.present_mf_kinds): a GGX-only scene compiles no
+    Beckmann erf/erfinv ops and vice versa."""
     lobes = ALL_LOBES if lobes is None else lobes
     lobe = _sanitize(lobe)
     out = jnp.zeros(wo.shape, wo.dtype)
@@ -356,17 +359,17 @@ def eval_f(lobe: Lobe, wo, wi, lobes=None) -> jnp.ndarray:
                         _eval_lambert(lobe, wo, wi), out)
     if LOBE_MICROFACET in lobes:
         out = jnp.where((lobe.kind == LOBE_MICROFACET)[..., None],
-                        _eval_microfacet(lobe, wo, wi), out)
+                        _eval_microfacet(lobe, wo, wi, mf_kinds), out)
     if LOBE_PHONG in lobes:
         out = jnp.where((lobe.kind == LOBE_PHONG)[..., None],
                         _eval_phong(lobe, wo, wi), out)
     if LOBE_MICROFACET_TRANS in lobes:
         out = jnp.where((lobe.kind == LOBE_MICROFACET_TRANS)[..., None],
-                        _eval_microfacet_trans(lobe, wo, wi), out)
+                        _eval_microfacet_trans(lobe, wo, wi, mf_kinds), out)
     return out
 
 
-def pdf(lobe: Lobe, wo, wi, lobes=None) -> jnp.ndarray:
+def pdf(lobe: Lobe, wo, wi, lobes=None, mf_kinds=None) -> jnp.ndarray:
     lobes = ALL_LOBES if lobes is None else lobes
     lobe = _sanitize(lobe)
     out = jnp.zeros(wo.shape[:-1], wo.dtype)
@@ -374,12 +377,12 @@ def pdf(lobe: Lobe, wo, wi, lobes=None) -> jnp.ndarray:
         out = jnp.where(lobe.kind == LOBE_LAMBERT, _pdf_lambert(wo, wi), out)
     if LOBE_MICROFACET in lobes:
         out = jnp.where(lobe.kind == LOBE_MICROFACET,
-                        _pdf_microfacet(lobe, wo, wi), out)
+                        _pdf_microfacet(lobe, wo, wi, mf_kinds), out)
     if LOBE_PHONG in lobes:
         out = jnp.where(lobe.kind == LOBE_PHONG, _pdf_phong(lobe, wo, wi), out)
     if LOBE_MICROFACET_TRANS in lobes:
         out = jnp.where(lobe.kind == LOBE_MICROFACET_TRANS,
-                        _pdf_microfacet_trans(lobe, wo, wi), out)
+                        _pdf_microfacet_trans(lobe, wo, wi, mf_kinds), out)
     return out
 
 
@@ -449,13 +452,13 @@ def _sample_fresnel(lobe: Lobe, wo, u):
     return wi, f, p
 
 
-def _sample_microfacet(lobe: Lobe, wo, u):
+def _sample_microfacet(lobe: Lobe, wo, u, mf_kinds=None):
     """(reference: src/bsdf.cc:59-78)"""
-    wh = mf.sample_wh(lobe.mf_kind, wo, lobe.a0, lobe.a1, u)
+    wh = mf.sample_wh(lobe.mf_kind, wo, lobe.a0, lobe.a1, u, mf_kinds)
     wi = -wo + 2.0 * dot(wo, wh)[..., None] * wh
     ok = (dot(wo, wh) >= 0.0) & _same_hemisphere(wo, wi) & (jnp.abs(wo[..., 2]) > 1e-9)
     f = _eval_microfacet(lobe, wo, wi)
-    p = mf.pdf_wh(lobe.mf_kind, wo, wh, lobe.a0, lobe.a1) / jnp.maximum(
+    p = mf.pdf_wh(lobe.mf_kind, wo, wh, lobe.a0, lobe.a1, mf_kinds) / jnp.maximum(
         4.0 * dot(wo, wh), 1e-12
     )
     return (
@@ -488,7 +491,7 @@ def _sample_phong(lobe: Lobe, wo, u):
     return wi, _eval_phong(lobe, wo, wi), _pdf_phong(lobe, wo, wi)
 
 
-def sample(lobe: Lobe, wo, u, lobes=None) -> BSDFSample:
+def sample(lobe: Lobe, wo, u, lobes=None, mf_kinds=None) -> BSDFSample:
     """Sample the lobe kinds present, select by tag. u: [N,2]; `lobes` is
     the optional static present-kind tuple (see eval_f)."""
     lobes = ALL_LOBES if lobes is None else lobes
@@ -497,9 +500,9 @@ def sample(lobe: Lobe, wo, u, lobes=None) -> BSDFSample:
         LOBE_LAMBERT: lambda: _sample_lambert(lobe, wo, u),
         LOBE_SPECULAR: lambda: _sample_specular(lobe, wo),
         LOBE_FRESNEL: lambda: _sample_fresnel(lobe, wo, u),
-        LOBE_MICROFACET: lambda: _sample_microfacet(lobe, wo, u),
+        LOBE_MICROFACET: lambda: _sample_microfacet(lobe, wo, u, mf_kinds),
         LOBE_PHONG: lambda: _sample_phong(lobe, wo, u),
-        LOBE_MICROFACET_TRANS: lambda: _sample_microfacet_trans(lobe, wo, u),
+        LOBE_MICROFACET_TRANS: lambda: _sample_microfacet_trans(lobe, wo, u, mf_kinds),
     }
     wi = jnp.zeros(wo.shape, wo.dtype)
     f = jnp.zeros(wo.shape, wo.dtype)

@@ -18,8 +18,17 @@ PI_OVER_2 = PI / 2.0
 PI_OVER_4 = PI / 4.0
 EPSILON = 1e-4
 INFINITY = jnp.inf
-# Default ray t_min; doubles as the shadow epsilon (reference: src/geometry.h:395).
+# Default ray t_min; doubles as the shadow epsilon. The reference hardwires
+# 1e-3 world units (reference: src/geometry.h:395) — fine for its ~1000-unit
+# scenes, self-intersection acne at 1e-3-unit scale and light leaks at
+# 1e6-unit scale. Scene builds therefore derive a SCALE-RELATIVE epsilon
+# (ScenePack.ray_eps = RAY_EPS_REL x scene diameter, see scene/builder.py)
+# which the integrators use; this constant remains the reference-faithful
+# fallback and the default for raw intersect calls.
 RAY_EPS = 1e-3
+# relative epsilon: 1e-6 of the scene diameter reproduces the reference's
+# 1e-3 on its ~1000-unit scenes while scaling to tiny/huge worlds
+RAY_EPS_REL = 1.25e-6
 
 
 def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -91,22 +91,35 @@ def lambda_beckmann(w, ax, ay):
     return jnp.where((a >= 1.6) | (cos2 <= 1e-12), 0.0, lam)
 
 
-def d(kind, wh, ax, ay):
+def d(kind, wh, ax, ay, kinds=None):
+    """kinds: static tuple of distribution kinds present in the scene
+    (SceneMeta.present_mf_kinds). A single-kind scene compiles ONLY that
+    branch — the Beckmann path costs a 10-step branch-free erfinv loop per
+    lane, which GGX-only scenes should never pay (VERDICT r3 task 9)."""
+    if kinds is not None and tuple(kinds) == (GGX,):
+        return d_ggx(wh, ax, ay)
+    if kinds is not None and tuple(kinds) == (BECKMANN,):
+        return d_beckmann(wh, ax, ay)
     return jnp.where(kind == GGX, d_ggx(wh, ax, ay), d_beckmann(wh, ax, ay))
 
 
-def lam(kind, w, ax, ay):
+def lam(kind, w, ax, ay, kinds=None):
+    if kinds is not None and tuple(kinds) == (GGX,):
+        return lambda_ggx(w, ax, ay)
+    if kinds is not None and tuple(kinds) == (BECKMANN,):
+        return lambda_beckmann(w, ax, ay)
     return jnp.where(kind == GGX, lambda_ggx(w, ax, ay), lambda_beckmann(w, ax, ay))
 
 
-def g1(kind, w, ax, ay):
+def g1(kind, w, ax, ay, kinds=None):
     """(reference: src/microfacet.h:22-25)"""
-    return 1.0 / (1.0 + lam(kind, w, ax, ay))
+    return 1.0 / (1.0 + lam(kind, w, ax, ay, kinds))
 
 
-def g(kind, wo, wi, ax, ay):
+def g(kind, wo, wi, ax, ay, kinds=None):
     """(reference: src/microfacet.h:26-28)"""
-    return 1.0 / (1.0 + lam(kind, wo, ax, ay) + lam(kind, wi, ax, ay))
+    return 1.0 / (1.0 + lam(kind, wo, ax, ay, kinds)
+                  + lam(kind, wi, ax, ay, kinds))
 
 
 def _sample_ggx_vndf(wo_up, ax, ay, u):
@@ -211,25 +224,30 @@ def _sample_beckmann_vndf(wo_up, ax, ay, u):
     )
 
 
-def sample_wh(kind, wo, ax, ay, u):
+def sample_wh(kind, wo, ax, ay, u, kinds=None):
     """Sample a visible half-vector (VNDF) for either distribution, with the
     hemisphere flip for wo.z<0 (reference: src/microfacet.cc:212-254 and
     326-357, both samplevis=true — the reference's default for every
     distribution it builds, src/microfacet.h:51,70-71)."""
     flip = wo[..., 2] < 0.0
     wo_up = jnp.where(flip[..., None], -wo, wo)
-    wh_ggx = _sample_ggx_vndf(wo_up, ax, ay, u)
-    wh_beck = _sample_beckmann_vndf(wo_up, ax, ay, u)
-    wh = jnp.where((kind == GGX)[..., None], wh_ggx, wh_beck)
+    if kinds is not None and tuple(kinds) == (GGX,):
+        wh = _sample_ggx_vndf(wo_up, ax, ay, u)
+    elif kinds is not None and tuple(kinds) == (BECKMANN,):
+        wh = _sample_beckmann_vndf(wo_up, ax, ay, u)
+    else:
+        wh_ggx = _sample_ggx_vndf(wo_up, ax, ay, u)
+        wh_beck = _sample_beckmann_vndf(wo_up, ax, ay, u)
+        wh = jnp.where((kind == GGX)[..., None], wh_ggx, wh_beck)
     return jnp.where(flip[..., None], -wh, wh)
 
 
-def pdf_wh(kind, wo, wh, ax, ay):
+def pdf_wh(kind, wo, wh, ax, ay, kinds=None):
     """Visible-normal pdf D(wh)·G1(wo)·|wo·wh| / |cosθo| for both
     distributions (reference: src/microfacet.cc:359-365, samplevis=true)."""
     return (
-        d(kind, wh, ax, ay)
-        * g1(kind, wo, ax, ay)
+        d(kind, wh, ax, ay, kinds)
+        * g1(kind, wo, ax, ay, kinds)
         * jnp.abs(dot(wo, wh))
         / jnp.maximum(jnp.abs(wo[..., 2]), 1e-12)
     )

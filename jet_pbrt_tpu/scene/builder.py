@@ -20,6 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import bsdf as bsdf_ops
+from ..ops.linalg import RAY_EPS_REL
 from .pack import (
     KIND_TRI, KIND_SPHERE, KIND_RECT, KIND_DISK, KIND_INST,
     LIGHT_POINT, LIGHT_DIRECTIONAL, LIGHT_AREA, LIGHT_ENV,
@@ -328,7 +329,8 @@ class SceneBuilder:
 
     # -- build -------------------------------------------------------------
     def build(self, use_bvh: bool | None = None, bvh_leaf_size: int = 4,
-              prune_black_nee: bool = True) -> Scene:
+              prune_black_nee: bool = True,
+              ray_eps: float | None = None) -> Scene:
         def stack(rows, i, shape, dtype=np.float32):
             if rows:
                 return np.stack([np.asarray(r[i], dtype) for r in rows])
@@ -566,6 +568,13 @@ class SceneBuilder:
         present_lobes = tuple(sorted({
             lb for m in self._mat for lb in lobe_map[m[0]]
         }))
+        # microfacet distribution kinds actually reachable (materials that
+        # resolve to a microfacet lobe)
+        mf_mats = {bsdf_ops.MAT_PLASTIC, bsdf_ops.MAT_METAL,
+                   bsdf_ops.MAT_ROUGHGLASS}
+        present_mf_kinds = tuple(sorted({
+            m[7] for m in self._mat if m[0] in mf_mats
+        }))
 
         light_metas = []
         for lm, c, _pos, _dir in self._lights:
@@ -586,6 +595,7 @@ class SceneBuilder:
             use_bvh=bool(use_bvh),
             n_tex=n_tex,
             present_lobes=present_lobes,
+            present_mf_kinds=present_mf_kinds,
             n_bvh_nodes=n_bvh_nodes,
             n_bvh_tris=n_bvh_tris,
             n_inst=n_inst,
@@ -621,6 +631,12 @@ class SceneBuilder:
             light_dir=jnp.asarray(light_dir),
             world_center=jnp.asarray(center, jnp.float32),
             world_radius=jnp.asarray(radius, jnp.float32),
+            # spawn/shadow epsilon: scale-relative unless pinned
+            # (reference-faithful mode passes ray_eps=1e-3 explicitly)
+            ray_eps=jnp.asarray(
+                ray_eps if ray_eps is not None
+                else max(float(2.0 * radius) * RAY_EPS_REL, 1e-30),
+                jnp.float32),
             bvh_nodes=jnp.asarray(bvh_nodes), bvh_tris=jnp.asarray(bvh_tris),
             bvh_s_sph=jnp.asarray(bvh_s[0]),
             bvh_s_bw=jnp.asarray(bvh_s[1]),

@@ -73,6 +73,9 @@ class SceneMeta:
     # static set of BSDF lobe kinds the scene's materials can resolve to;
     # None means "all" (bsdf.ALL_LOBES)
     present_lobes: tuple | None = None
+    # static set of microfacet distribution kinds present (mf.GGX /
+    # mf.BECKMANN); single-kind scenes compile only that branch
+    present_mf_kinds: tuple | None = None
     # instanced-mesh subsystem (two-level BVH): instance count + static
     # BLAS/TLAS table sizes
     n_inst: int = 0
@@ -150,6 +153,9 @@ class ScenePack(NamedTuple):
     # world bounding sphere (reference: src/scene.cc:35-45, light Preprocess)
     world_center: jnp.ndarray  # [3]
     world_radius: jnp.ndarray  # []
+    # scale-relative spawn/shadow ray epsilon (RAY_EPS_REL x scene
+    # diameter by default; build(ray_eps=...) pins the reference's 1e-3)
+    ray_eps: jnp.ndarray       # []
     # flattened skip-link BVH over triangles (empty when meta.use_bvh=False).
     # Bundled into single tables so each traversal step costs ONE gather:
     #   bvh_nodes[B, 8] = bmin.xyz, bmax.xyz, miss-link, leaf-code
@@ -468,8 +474,8 @@ def occluded(meta: SceneMeta, pack: ScenePack, p_from, p_to,
     delta = p_to - p_from
     dist = jnp.sqrt(jnp.maximum(dot(delta, delta), 1e-20))
     d = delta / dist[:, None]
-    tmin = jnp.full_like(dist, RAY_EPS)
-    tmax = dist - RAY_EPS
+    tmin = jnp.full_like(dist, pack.ray_eps)
+    tmax = dist - pack.ray_eps
     if mask is not None:
         tmin = jnp.where(mask, tmin, jnp.inf)
         tmax = jnp.where(mask, tmax, -1.0)

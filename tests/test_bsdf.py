@@ -392,3 +392,43 @@ def test_make_lobe_phong_and_beckmann_wiring():
     assert int(lobe.mf_kind[1]) == mf.BECKMANN
     assert int(lobe.kind[1]) == B.LOBE_MICROFACET
     assert int(lobe.mf_kind[2]) == mf.GGX
+
+
+def test_mf_kind_pruning_compiles_single_branch():
+    """A GGX-only scene must compile NO Beckmann erf/erfinv chain and a
+    Beckmann-only scene no... well, Beckmann's lambda uses erf too — the
+    discriminating op is erf_inv, which only the Beckmann VNDF inversion
+    loop emits (10 fixed iterations per lane). Checked on the jaxpr
+    (VERDICT r3 task 9)."""
+    import jax
+    import jax.numpy as jnp
+    from jet_pbrt_tpu.ops import bsdf as B
+    from jet_pbrt_tpu.ops import microfacet as mf
+
+    n = 8
+    lobe = B.Lobe(
+        kind=jnp.full((n,), B.LOBE_MICROFACET, jnp.int32),
+        f0=jnp.ones((n, 3)), f1=jnp.ones((n, 3)), f2=jnp.ones((n, 3)),
+        a0=jnp.full((n,), 0.2), a1=jnp.full((n,), 0.2),
+        fr_conductor=jnp.ones((n,), bool),
+        fr_eta_i=jnp.ones((n,)), fr_eta_t=jnp.full((n,), 1.5),
+        mf_kind=jnp.full((n,), mf.GGX, jnp.int32),
+    )
+    wo = jnp.tile(jnp.asarray([[0.2, 0.1, 0.95]]), (n, 1))
+    u = jnp.full((n, 2), 0.4)
+
+    def f_pruned(lobe, wo, u):
+        return B.sample(lobe, wo, u, lobes=(B.LOBE_MICROFACET,),
+                        mf_kinds=(mf.GGX,))
+
+    def f_full(lobe, wo, u):
+        return B.sample(lobe, wo, u, lobes=(B.LOBE_MICROFACET,))
+
+    jx_pruned = str(jax.make_jaxpr(f_pruned)(lobe, wo, u))
+    jx_full = str(jax.make_jaxpr(f_full)(lobe, wo, u))
+    assert "erf_inv" not in jx_pruned
+    assert "erf_inv" in jx_full
+    # and the pruned path still samples identically on GGX lanes
+    a = f_pruned(lobe, wo, u)
+    b = f_full(lobe, wo, u)
+    np.testing.assert_allclose(np.asarray(a.wi), np.asarray(b.wi), rtol=1e-6)
