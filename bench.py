@@ -4,7 +4,8 @@
 Prints TWO JSON lines:
   1. cornell box 512^2  (62 tris, brute-force intersection — VPU-bound)
   2. bunny 1024^2       (4 instanced bunnies, ~66k-tri shared BLAS,
-                         two-level TLAS/BLAS Pallas packet traversal)
+                         MXU cull-sweep traversal + between-bounce ray
+                         sorting, ops/sweep_bvh.py + ops/sort.py)
 
 Each line: {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N/1e8}
 
@@ -25,9 +26,9 @@ import numpy as np
 
 
 def _morton_ids(width: int) -> np.ndarray:
-    """Pixel ids in 2D Morton order: a 1024-lane ray tile becomes a compact
-    square screen block instead of 4 full scanlines — measurably fewer BVH
-    nodes per packet (ops/pallas_bvh.py)."""
+    """Pixel ids in 2D Morton order: a 128-lane ray packet becomes a compact
+    square screen block instead of a scanline — fewer cull groups per
+    packet in the sweep kernel (ops/sweep_bvh.py)."""
     xs = np.arange(width, dtype=np.uint32)
 
     def spread(v):
@@ -45,7 +46,7 @@ def _morton_ids(width: int) -> np.ndarray:
 
 
 def bench_scene(scene, width: int, n_waves: int, max_depth: int = 5,
-                morton: bool = False, sort_rays: bool = False) -> float:
+                morton: bool = False, sort_rays: bool | None = None) -> float:
     from jet_pbrt_tpu.models import camera as camera_mod
     from jet_pbrt_tpu.models.integrators import li_path
     from jet_pbrt_tpu.ops import rng
@@ -101,7 +102,7 @@ def main() -> None:
         "vs_baseline": round(rps / 100e6, 4),
     }), flush=True)
 
-    bunny = bunny_scene(bvh_leaf_size=16)
+    bunny = bunny_scene()
     rps_b = bench_scene(bunny, width=1024, n_waves=4, morton=True)
     print(json.dumps({
         "metric": "rays/s/chip (bunny 4x66k-tri instanced BVH path tracing)",

@@ -56,8 +56,10 @@ GROUP = 128          # triangles per cull group (one MXU lane tile)
 RAYS = 128           # rays per packet (one lane tile)
 FAR = np.float32(3.0e37)
 FAR_BITS = int(np.float32(FAR).view(np.int32))
-# packed group key: (entry-distance bits & ~1023) | group id  (10 id bits)
-GMASK = 1023
+# packed group key: (entry-distance bits & ~8191) | group id (13 id bits =
+# up to 8192 groups = 1M triangles; the distance keeps 19 total bits, still
+# ~3 significant decimal digits of near-to-far resolution)
+GMASK = 8191
 FAR_KEY = FAR_BITS & ~GMASK
 # packed triangle key: (t bits & ~127) | tri sublane  (7 id bits)
 TMASK = 127
@@ -66,7 +68,10 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def fits_vmem(n_tris: int) -> bool:
-    """BW rows [12, Tp] f32 + spheres in VMEM."""
+    """BW rows [12, Tp] f32 + spheres resident in VMEM. Larger meshes use
+    the HBM-streamed mode (stream_bw): only the sphere table stays in
+    VMEM and triangle blocks are DMA'd per tested group, double-buffered
+    behind the next-nearest-group lookahead."""
     tp = ((max(n_tris, 1) + GROUP - 1) // GROUP) * GROUP
     return tp * 12 * 4 + (tp // GROUP) * 8 * 4 <= _VMEM_BUDGET
 
@@ -160,14 +165,22 @@ def flat_inst(inst_off, inst_scale) -> np.ndarray:
 
 def _sweep_kernel(sph_ref, bw_ref, inst_ref, root_ref, rays_ref,
                   t_ref, idx_ref, *refs,
-                  n_tris, n_groups, n_inst, occlusion, with_stats):
+                  n_tris, n_groups, n_inst, occlusion, with_stats,
+                  stream_bw=False):
     """One 128-ray packet sweeps all instances. rays_ref[0] rows: ox oy oz
     dx dy dz tmin tmax, each (1, RAYS).
 
-    Scratch: kscr (Gp, 128) packed group keys (lane 0 used), tscr/iscr
+    Scratch: kscr (8, Gp) packed group keys (row 0 used), tscr/iscr
     (8, RAYS) best-hit state in row 0 (refs, so the scan while-loop carry
-    stays scalar)."""
-    if with_stats:
+    stays scalar). stream_bw=True keeps the BW table in HBM (meshes beyond
+    VMEM): each tested group's [12,128] block is DMA'd into bscr first —
+    only the (tiny) sphere table must be resident."""
+    if stream_bw:
+        if with_stats:
+            stats_ref, kscr, tscr, iscr, bscr, bsem = refs
+        else:
+            kscr, tscr, iscr, bscr, bsem = refs
+    elif with_stats:
         stats_ref, kscr, tscr, iscr = refs
     else:
         kscr, tscr, iscr = refs
@@ -291,9 +304,18 @@ def _sweep_kernel(sph_ref, bw_ref, inst_ref, root_ref, rays_ref,
                 @pl.when(live)
                 def _test():
                     blk = pl.multiple_of(g * GROUP, GROUP)
-                    b0 = bw_ref[0:4, pl.ds(blk, GROUP)]
-                    b1 = bw_ref[4:8, pl.ds(blk, GROUP)]
-                    b2 = bw_ref[8:12, pl.ds(blk, GROUP)]
+                    if stream_bw:
+                        dma = pltpu.make_async_copy(
+                            bw_ref.at[:, pl.ds(blk, GROUP)], bscr, bsem)
+                        dma.start()
+                        dma.wait()
+                        b0 = bscr[0:4, :]
+                        b1 = bscr[4:8, :]
+                        b2 = bscr[8:12, :]
+                    else:
+                        b0 = bw_ref[0:4, pl.ds(blk, GROUP)]
+                        b1 = bw_ref[4:8, pl.ds(blk, GROUP)]
+                        b2 = bw_ref[8:12, pl.ds(blk, GROUP)]
                     dg = lambda a, b: lax.dot_general(
                         a, b, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32, precision=hp)
@@ -360,21 +382,26 @@ def _rays_tiles(o, d, tmin, tmax):
 def intersect_sweep(sph, bw, inst_flat, root, n_tris, n_groups,
                     o, d, tmin, tmax, *, n_inst: int = 0,
                     any_hit: bool = False, interpret: bool = False,
-                    with_stats: bool = False):
+                    with_stats: bool = False, stream_bw: bool | None = None):
     """MXU cull-sweep closest/any hit over 128-ray packets.
 
     sph [8,Gp] f32, bw [12,Tp] f32, inst_flat [(I+1)*4] f32 (SMEM),
     root [8] f32 (SMEM). Hit indices are instance * n_tris + triangle,
     matching ops/bvh.py intersect_instances. with_stats returns per-tile
-    (instance sweeps, group tests) counters [n_tiles, 2]."""
+    (instance sweeps, group tests) counters [n_tiles, 2]. stream_bw keeps
+    the BW table in HBM and DMAs tested blocks (defaults to whether the
+    table fits VMEM)."""
     n = o.shape[0]
     rays = _rays_tiles(o, d, tmin, tmax)
     n_tiles = rays.shape[0]
     gp = sph.shape[1]
+    if stream_bw is None:
+        stream_bw = not fits_vmem(n_tris)
 
     kernel = functools.partial(
         _sweep_kernel, n_tris=n_tris, n_groups=n_groups,
         n_inst=n_inst, occlusion=any_hit, with_stats=with_stats,
+        stream_bw=stream_bw,
     )
     out_specs = [
         pl.BlockSpec((1, 1, RAYS), lambda i: (i, 0, 0),
@@ -396,6 +423,7 @@ def intersect_sweep(sph, bw, inst_flat, root, n_tris, n_groups,
         in_specs=[
             pl.BlockSpec((8, gp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY) if stream_bw else
             pl.BlockSpec(bw.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(inst_flat.shape, lambda i: (0,),
@@ -411,7 +439,8 @@ def intersect_sweep(sph, bw, inst_flat, root, n_tris, n_groups,
             pltpu.VMEM((8, gp), jnp.int32),
             pltpu.VMEM((8, RAYS), jnp.float32),
             pltpu.VMEM((8, RAYS), jnp.int32),
-        ],
+        ] + ([pltpu.VMEM((12, GROUP), jnp.float32),
+              pltpu.SemaphoreType.DMA] if stream_bw else []),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
         ),

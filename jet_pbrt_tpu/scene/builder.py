@@ -528,11 +528,10 @@ class SceneBuilder:
         n_groups_blas = 0
         pallas_bvh = False
         pallas_blas = False
-        # the sweep's 10-bit group-id pack caps meshes at 1024 groups
-        # (131k tris); beyond that — or beyond VMEM — fall back to the
-        # XLA walk (HBM-streamed sweep is the planned upgrade path)
+        # the sweep's 13-bit group-id pack caps meshes at 8192 groups
+        # (1M tris); VMEM overflow switches to the HBM-streamed mode
+        # inside intersect_sweep, so only the group cap gates here
         if (use_bvh and on_tpu and n_tri
-                and sweep.fits_vmem(n_bvh_tris)
                 and (n_bvh_tris + 127) // 128 <= sweep.max_groups()):
             bw_t, sph_t, root_t, n_groups_bvh = sweep.build_sweep_tables(
                 bvh_tris)
@@ -545,7 +544,6 @@ class SceneBuilder:
         # the sweep unrolls the instance loop at compile time; very large
         # instance counts go to the XLA walk to bound compile size
         if (n_inst and on_tpu and n_inst <= 32
-                and sweep.fits_vmem(n_blas_tris)
                 and (n_blas_tris + 127) // 128 <= sweep.max_groups()):
             bw_t, sph_t, root_t, n_groups_blas = sweep.build_sweep_tables(
                 blas_tris)

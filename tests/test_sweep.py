@@ -148,3 +148,23 @@ def test_sweep_instanced(tables):
     # instance attribution must agree (index // n_tris)
     assert np.array_equal(np.asarray(h_s.index)[ok] // mt.shape[0],
                           np.asarray(h_x.index)[ok] // mt.shape[0])
+
+
+def test_sweep_streamed_matches_resident(tables):
+    """HBM-streamed mode (per-group DMA of the BW table) returns exactly
+    the resident-VMEM results."""
+    s = tables
+    n = S.RAYS + 40
+    o, d, tmin, tmax = _rays(9, n)
+    h_r = S.intersect_sweep(s["sph"], s["bw"], s["inst"], s["root"],
+                            s["n_tris"], s["n_groups"], o, d, tmin, tmax,
+                            interpret=True, stream_bw=False)
+    h_s = S.intersect_sweep(s["sph"], s["bw"], s["inst"], s["root"],
+                            s["n_tris"], s["n_groups"], o, d, tmin, tmax,
+                            interpret=True, stream_bw=True)
+    assert np.array_equal(np.asarray(h_s.valid), np.asarray(h_r.valid))
+    ok = np.asarray(h_s.valid)
+    np.testing.assert_array_equal(np.asarray(h_s.t)[ok],
+                                  np.asarray(h_r.t)[ok])
+    np.testing.assert_array_equal(np.asarray(h_s.index)[ok],
+                                  np.asarray(h_r.index)[ok])
