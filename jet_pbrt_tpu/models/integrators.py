@@ -71,7 +71,7 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
     packet).
     """
     if sort_rays is None:
-        sort_rays = bool(meta.pallas_bvh or meta.pallas_blas)
+        sort_rays = bool(meta.pallas_bvh or any(meta.pallas_blas))
     n = o.shape[0]
     nl = meta.n_lights
     L = jnp.zeros((n, 3), jnp.float32)

@@ -25,7 +25,7 @@ from .film import finalize
 def _wave_fn(meta, width: int, height: int, max_depth: int,
              integrator: str, mis: bool, nee: bool = True,
              sampler: str = "random", spp: int | None = None,
-             seed: int = 0, sort_rays: bool = False):
+             seed: int = 0, sort_rays: bool | None = None):
     """Build the jittable one-wave kernel for a fixed scene meta.
 
     RNG streams are keyed by (seed, global sample index, global pixel id)
@@ -58,7 +58,7 @@ def render(scene, width: int, height: int, spp: int, seed: int = 0,
            max_depth: int = 5, integrator: str = "path", mis: bool = False,
            nee: bool = True, sampler: str = "random",
            chunk: int | None = None, clamp: bool = True,
-           sort_rays: bool = False) -> np.ndarray:
+           sort_rays: bool | None = None) -> np.ndarray:
     """Full-frame render; returns a linear [H,W,3] numpy image (averaged over
     spp, optionally clamped like the reference's film write,
     reference: src/integrator.cc:108)."""

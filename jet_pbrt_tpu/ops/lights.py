@@ -100,7 +100,7 @@ def _sample_shape_position(pack, shape_kind, shape_idx, u):
         pos = c[None, :] + r * dirs
         nrm = dirs
         area = 4.0 * PI * r * r
-    elif shape_kind == KIND_INST:
+    elif shape_kind >= KIND_INST:
         # emissive INSTANCE: sample a triangle of the shared BLAS uniformly
         # (index, not area-weighted — the remapped u would need a CDF
         # search per lane; per-sample pdf carries the exact per-triangle
@@ -114,14 +114,16 @@ def _sample_shape_position(pack, shape_kind, shape_idx, u):
 
         # sample from the RAW mesh table (blas_tris pads leaves by
         # duplicating triangles, which would double-cover their area)
-        t_count = pack.inst_em_tris.shape[0]
-        off = pack.inst_off[shape_idx]
-        scl = pack.inst_scale[shape_idx]
+        mi = shape_kind - KIND_INST
+        t_count = pack.inst_em_tris[mi].shape[0]
+        off = pack.inst_off[mi][shape_idx]
+        scl = pack.inst_scale[mi][shape_idx]
         u0 = jnp.clip(u[:, 0] * t_count, 0.0, t_count - 1e-3)
         ti = u0.astype(jnp.int32)
         u0r = u0 - ti.astype(jnp.float32)   # remapped leftover uniform
         rows = take_rows(
-            jnp.concatenate([pack.inst_em_tris, pack.inst_em_n], axis=1),
+            jnp.concatenate([pack.inst_em_tris[mi], pack.inst_em_n[mi]],
+                            axis=1),
             ti)
         p0, e1, e2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
         b = sample_uniform_triangle(
@@ -294,7 +296,7 @@ def pdf_li(meta, pack, light_index: int, shade_pos, wi) -> jnp.ndarray:
 
     sk, si = lm.shape_kind, lm.shape_idx
     from ..scene.pack import KIND_INST
-    if sk == KIND_INST:
+    if sk >= KIND_INST:
         # MIS for emissive instances would need a per-direction re-traversal
         # of the BLAS to recover the sampled pdf; the reference estimator
         # (NEE without MIS) never calls this. Fail loudly at trace time

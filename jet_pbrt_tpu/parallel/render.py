@@ -31,7 +31,7 @@ from ..ops import rng
 
 def build_sharded_render(meta, mesh, width: int, height: int, spp: int,
                          seed: int = 0, max_depth: int = 5, mis: bool = False,
-                         sampler: str = "random", sort_rays: bool = False):
+                         sampler: str = "random", sort_rays: bool | None = None):
     """Returns fn(pack, cam) -> [H*W, 3] flat film (averaged over spp),
     jit-compiled over `mesh`.
 

@@ -61,8 +61,9 @@ class SceneBuilder:
         self._mat = []      # rows: (kind, c0, c1, s0, s1, remap, tex, mf)
         self._lights = []   # rows: (LightMeta, c, pos, dir)
         self._tex = []      # rows: (kind, c0, c1, scale, image or None)
-        self._inst_mesh = None  # the one shared instanced mesh (local space)
-        self._inst = []     # rows: (offset, scale, mat, light)
+        # instanced mesh FAMILIES: each entry is a dict with the local-space
+        # mesh + its instance rows (offset, scale, mat, light)
+        self._inst_meshes = []
 
     # -- camera (reference: src/scene.h:67-73) ----------------------------
     def set_camera(self, lookfrom, lookat=None, front=None, vup=(0, 1, 0),
@@ -200,22 +201,18 @@ class SceneBuilder:
 
     def add_instanced_mesh(self, tris, instances, flip_normal=False,
                            flip_handedness=False, uvs=None):
-        """Register ONE mesh rendered as many instances sharing one BVH.
+        """Register one mesh FAMILY rendered as many instances sharing one
+        BVH; call repeatedly for additional families (each gets its own
+        shared BLAS — the reference instead re-loads and re-transforms the
+        OBJ per copy, reference: src/main.cc:94-107, src/shape.cc:48-61).
 
         tris: [T,3,3] local-space vertex soup (+ optional uvs [T,3,2]);
         instances: iterable of (offset, scale, mat) or
-        (offset, scale, mat, radiance) — the transforms the reference
-        applies per bunny copy (reference: src/main.cc:94-107,
-        src/shape.cc:48-61), except the mesh+BVH are built once and shared
-        instead of duplicated per copy. A 4-tuple makes that instance an
+        (offset, scale, mat, radiance). A 4-tuple makes that instance an
         EMISSIVE mesh: one area light over its whole surface (the batched
         equivalent of the reference's per-triangle FAreaLight loop,
-        reference: src/scene.cc:79-89). Returns instance ids.
-
-        One instanced mesh per scene (the tables are single BLAS); call once
-        with all instances.
+        reference: src/scene.cc:79-89). Returns (mesh_index, instance ids).
         """
-        assert self._inst_mesh is None, "one instanced mesh per scene"
         tris = np.asarray(tris, np.float32).copy()
         if flip_handedness:
             tris[..., 2] *= -1.0
@@ -227,29 +224,29 @@ class SceneBuilder:
             n = -n
         if uvs is None:
             uvs = np.zeros((len(tris), 3, 2), np.float32)
-        self._inst_mesh = dict(
-            tris=tris, n=n.astype(np.float32),
-            uv=np.asarray(uvs, np.float32),
-        )
+        mesh_idx = len(self._inst_meshes)
+        rows = []
         ids = []
         for entry in instances:
             off, scale, mat = entry[:3]
             radiance = entry[3] if len(entry) > 3 else None
             assert float(scale) > 0.0, "instance scale must be positive"
-            inst_id = len(self._inst)
+            inst_id = len(rows)
             light_id = -1
             if radiance is not None:
                 light_id = self._add_light(
-                    LightMeta(LIGHT_AREA, shape_kind=KIND_INST,
+                    LightMeta(LIGHT_AREA, shape_kind=KIND_INST + mesh_idx,
                               shape_idx=inst_id),
                     radiance,
                 )
-            self._inst.append(
-                (np.asarray(off, np.float32), float(scale), int(mat),
-                 light_id)
-            )
+            rows.append((np.asarray(off, np.float32), float(scale),
+                         int(mat), light_id))
             ids.append(inst_id)
-        return ids
+        self._inst_meshes.append(dict(
+            tris=tris, n=n.astype(np.float32),
+            uv=np.asarray(uvs, np.float32), inst=rows,
+        ))
+        return mesh_idx, ids
 
     def add_sphere(self, center, radius: float, mat: int):
         self._sph.append([np.asarray(center, np.float32), float(radius), mat, -1])
@@ -404,10 +401,10 @@ class SceneBuilder:
         pts = [tri_p0, tri_p1, tri_p2, rect_q.reshape(-1, 3), disk_c]
         if len(sph_c):
             pts += [sph_c - sph_r[:, None], sph_c + sph_r[:, None]]
-        if self._inst_mesh is not None:
-            mesh_lo = self._inst_mesh["tris"].reshape(-1, 3).min(0)
-            mesh_hi = self._inst_mesh["tris"].reshape(-1, 3).max(0)
-            for off, scale, _m, _l in self._inst:
+        for fam in self._inst_meshes:
+            mesh_lo = fam["tris"].reshape(-1, 3).min(0)
+            mesh_hi = fam["tris"].reshape(-1, 3).max(0)
+            for off, scale, _m, _l in fam["inst"]:
                 pts.append(np.stack([mesh_lo * scale + off,
                                      mesh_hi * scale + off]))
         allpts = np.concatenate([p for p in pts if len(p)] or [np.zeros((1, 3), np.float32)])
@@ -446,57 +443,53 @@ class SceneBuilder:
             bvh_nodes = np.zeros((0, 8), np.float32)
             bvh_tris = np.zeros((0, 9), np.float32)
 
-        # ---- instanced mesh: shared BLAS + instance table + TLAS ---------
-        inst_off = stack(self._inst, 0, (3,))
-        inst_scale = np.array([r[1] for r in self._inst], np.float32)
-        inst_mat = np.array([r[2] for r in self._inst], np.int32)
-        inst_light = np.array([r[3] for r in self._inst], np.int32)
-        n_inst = len(self._inst)
-        blas_nodes = np.zeros((0, 8), np.float32)
-        blas_tris = np.zeros((0, 9), np.float32)
-        blas_n = np.zeros((0, 3), np.float32)
-        blas_uv = np.zeros((0, 3, 2), np.float32)
-        tlas_nodes = np.zeros((0, 8), np.float32)
-        if n_inst:
+        # ---- instanced mesh families: per-family shared BLAS + instance
+        # table + TLAS (each family is an independent two-level structure)
+        fam_tabs = []   # per family: dict of numpy tables
+        inst_newpos = []  # per family: old->new instance position map
+        for m in self._inst_meshes:
             from ..ops.bvh import build_bvh, build_box_bvh, pack_node_table
-            m = self._inst_mesh
+            rows = m["inst"]
+            f_off = np.stack([r[0] for r in rows])
+            f_scale = np.array([r[1] for r in rows], np.float32)
+            f_mat = np.array([r[2] for r in rows], np.int32)
+            f_light = np.array([r[3] for r in rows], np.int32)
             t0, t1, t2 = m["tris"][:, 0], m["tris"][:, 1], m["tris"][:, 2]
             blas, border = build_bvh(t0, t1, t2, leaf_size=bvh_leaf_size)
             t0, t1, t2 = t0[border], t1[border], t2[border]
-            blas_nodes = pack_node_table(blas, len(border), bvh_leaf_size)
-            blas_tris = np.concatenate(
+            f_blas_nodes = pack_node_table(blas, len(border), bvh_leaf_size)
+            f_blas_tris = np.concatenate(
                 [t0, t1 - t0, t2 - t0], axis=1
             ).astype(np.float32)
-            blas_n = m["n"][border]
-            blas_uv = m["uv"][border]
             # TLAS over instance world AABBs (root box = BLAS root scaled +
             # offset), one instance per leaf: leaf code = instance * 8 + 1
-            root_lo, root_hi = blas_nodes[0, :3], blas_nodes[0, 3:6]
-            ib_lo = root_lo[None] * inst_scale[:, None] + inst_off
-            ib_hi = root_hi[None] * inst_scale[:, None] + inst_off
+            root_lo, root_hi = f_blas_nodes[0, :3], f_blas_nodes[0, 3:6]
+            ib_lo = root_lo[None] * f_scale[:, None] + f_off
+            ib_hi = root_hi[None] * f_scale[:, None] + f_off
             tlas, torder = build_box_bvh(ib_lo, ib_hi, leaf_size=1)
-            inst_off = inst_off[torder]
-            inst_scale = inst_scale[torder]
-            inst_mat = inst_mat[torder]
-            inst_light = inst_light[torder]
-            tlas_nodes = pack_node_table(tlas, len(torder), 1)
+            f_off, f_scale = f_off[torder], f_scale[torder]
+            f_mat, f_light = f_mat[torder], f_light[torder]
             # instance rows were permuted: emissive-instance lights carry
             # the instance id in shape_idx and must follow
-            inst_newpos = np.empty(len(torder), np.int64)
-            inst_newpos[np.asarray(torder)] = np.arange(len(torder))
-        else:
-            inst_newpos = np.zeros(0, np.int64)
-        # raw (unpadded, unordered) mesh table for emissive-instance light
-        # sampling — blas_tris pads leaves by duplicating triangles
-        inst_em_tris = np.zeros((0, 9), np.float32)
-        inst_em_n = np.zeros((0, 3), np.float32)
-        if n_inst and (inst_light >= 0).any():
-            m = self._inst_mesh
+            newpos = np.empty(len(torder), np.int64)
+            newpos[np.asarray(torder)] = np.arange(len(torder))
+            inst_newpos.append(newpos)
+            # raw (unpadded, unordered) mesh table for emissive-instance
+            # light sampling — blas_tris pads leaves by DUPLICATING tris
             t0r = m["tris"][:, 0]
-            inst_em_tris = np.concatenate(
+            em_tris = np.concatenate(
                 [t0r, m["tris"][:, 1] - t0r, m["tris"][:, 2] - t0r], axis=1
-            ).astype(np.float32)
-            inst_em_n = m["n"].astype(np.float32)
+            ).astype(np.float32) if (f_light >= 0).any() else np.zeros(
+                (0, 9), np.float32)
+            em_n = (m["n"].astype(np.float32) if (f_light >= 0).any()
+                    else np.zeros((0, 3), np.float32))
+            fam_tabs.append(dict(
+                off=f_off, scale=f_scale, mat=f_mat, light=f_light,
+                blas_nodes=f_blas_nodes, blas_tris=f_blas_tris,
+                blas_n=m["n"][border], blas_uv=m["uv"][border],
+                tlas_nodes=pack_node_table(tlas, len(torder), 1),
+                em_tris=em_tris, em_n=em_n,
+            ))
 
         # Populate exactly one BVH layout: cull-sweep tables for the Pallas
         # MXU kernel (TPU + fits VMEM), the binary row tables otherwise
@@ -509,9 +502,6 @@ class SceneBuilder:
         on_tpu = jax.default_backend() == "tpu"
         n_bvh_nodes = int(bvh_nodes.shape[0])
         n_bvh_tris = int(bvh_tris.shape[0])
-        n_blas_nodes = int(blas_nodes.shape[0])
-        n_blas_tris = int(blas_tris.shape[0])
-        n_tlas_nodes = int(tlas_nodes.shape[0])
 
         ident = sweep.flat_inst(np.zeros((0, 3), np.float32),
                                 np.zeros(0, np.float32))
@@ -522,12 +512,8 @@ class SceneBuilder:
                     np.zeros((8,), np.float32))
 
         bvh_s = _empty_sweep()
-        inst_s = _empty_sweep()
-        inst_s_tbl = ident
         n_groups_bvh = 0
-        n_groups_blas = 0
         pallas_bvh = False
-        pallas_blas = False
         # the sweep's 13-bit group-id pack caps meshes at 8192 groups
         # (1M tris); VMEM overflow switches to the HBM-streamed mode
         # inside intersect_sweep, so only the group cap gates here
@@ -543,14 +529,26 @@ class SceneBuilder:
             bvh_tris = np.zeros((0, 9), np.float32)
         # the sweep unrolls the instance loop at compile time; very large
         # instance counts go to the XLA walk to bound compile size
-        if (n_inst and on_tpu and n_inst <= 32
-                and (n_blas_tris + 127) // 128 <= sweep.max_groups()):
-            bw_t, sph_t, root_t, n_groups_blas = sweep.build_sweep_tables(
-                blas_tris)
-            pallas_blas = True
-            inst_s = (sph_t, bw_t, root_t)
-            inst_s_tbl = sweep.flat_inst(inst_off, inst_scale)
-            blas_nodes = np.zeros((0, 8), np.float32)
+        pallas_blas = []
+        n_groups_blas = []
+        for f in fam_tabs:
+            n_i = len(f["scale"])
+            t_i = int(f["blas_tris"].shape[0])
+            if (on_tpu and n_i <= 32
+                    and (t_i + 127) // 128 <= sweep.max_groups()):
+                bw_t, sph_t, root_t, ng_t = sweep.build_sweep_tables(
+                    f["blas_tris"])
+                f["s_sph"], f["s_bw"], f["s_root"] = sph_t, bw_t, root_t
+                f["s_tbl"] = sweep.flat_inst(f["off"], f["scale"])
+                f["blas_nodes"] = np.zeros((0, 8), np.float32)
+                pallas_blas.append(True)
+                n_groups_blas.append(ng_t)
+            else:
+                es = _empty_sweep()
+                f["s_sph"], f["s_bw"], f["s_root"] = es
+                f["s_tbl"] = ident
+                pallas_blas.append(False)
+                n_groups_blas.append(0)
 
         lobe_map = {
             bsdf_ops.MAT_MATTE: (bsdf_ops.LOBE_LAMBERT,),
@@ -578,9 +576,10 @@ class SceneBuilder:
         for lm, c, _pos, _dir in self._lights:
             if prune_black_nee and float(np.abs(c).sum()) == 0.0:
                 lm = dataclasses.replace(lm, static_black=True)
-            if lm.kind == LIGHT_AREA and lm.shape_kind == KIND_INST:
+            if lm.kind == LIGHT_AREA and lm.shape_kind >= KIND_INST:
+                mi = lm.shape_kind - KIND_INST
                 lm = dataclasses.replace(
-                    lm, shape_idx=int(inst_newpos[lm.shape_idx]))
+                    lm, shape_idx=int(inst_newpos[mi][lm.shape_idx]))
             light_metas.append(lm)
         meta = SceneMeta(
             name=self.name,
@@ -596,14 +595,17 @@ class SceneBuilder:
             present_mf_kinds=present_mf_kinds,
             n_bvh_nodes=n_bvh_nodes,
             n_bvh_tris=n_bvh_tris,
-            n_inst=n_inst,
-            n_blas_nodes=n_blas_nodes,
-            n_blas_tris=n_blas_tris,
-            n_tlas_nodes=n_tlas_nodes,
+            n_inst=tuple(len(f["scale"]) for f in fam_tabs),
+            n_blas_nodes=tuple(int(f["blas_nodes"].shape[0])
+                               for f in fam_tabs),
+            n_blas_tris=tuple(int(f["blas_tris"].shape[0])
+                              for f in fam_tabs),
+            n_tlas_nodes=tuple(int(f["tlas_nodes"].shape[0])
+                               for f in fam_tabs),
             pallas_bvh=pallas_bvh,
-            pallas_blas=pallas_blas,
+            pallas_blas=tuple(pallas_blas),
             n_groups_bvh=n_groups_bvh,
-            n_groups_blas=n_groups_blas,
+            n_groups_blas=tuple(n_groups_blas),
             bvh_leaf_size=bvh_leaf_size,
         )
         pack = ScenePack(
@@ -640,20 +642,24 @@ class SceneBuilder:
             bvh_s_bw=jnp.asarray(bvh_s[1]),
             bvh_s_root=jnp.asarray(bvh_s[2]),
             bvh_s_inst=jnp.asarray(ident),
-            blas_nodes=jnp.asarray(blas_nodes),
-            blas_tris=jnp.asarray(blas_tris),
-            blas_n=jnp.asarray(blas_n), blas_uv=jnp.asarray(blas_uv),
-            inst_off=jnp.asarray(inst_off),
-            inst_scale=jnp.asarray(inst_scale),
-            inst_mat=jnp.asarray(inst_mat),
-            inst_light=jnp.asarray(inst_light),
-            tlas_nodes=jnp.asarray(tlas_nodes),
-            inst_s_sph=jnp.asarray(inst_s[0]),
-            inst_s_bw=jnp.asarray(inst_s[1]),
-            inst_s_root=jnp.asarray(inst_s[2]),
-            inst_s_tbl=jnp.asarray(inst_s_tbl),
-            inst_em_tris=jnp.asarray(inst_em_tris),
-            inst_em_n=jnp.asarray(inst_em_n),
+            blas_nodes=tuple(jnp.asarray(f["blas_nodes"])
+                             for f in fam_tabs),
+            blas_tris=tuple(jnp.asarray(f["blas_tris"]) for f in fam_tabs),
+            blas_n=tuple(jnp.asarray(f["blas_n"]) for f in fam_tabs),
+            blas_uv=tuple(jnp.asarray(f["blas_uv"]) for f in fam_tabs),
+            inst_off=tuple(jnp.asarray(f["off"]) for f in fam_tabs),
+            inst_scale=tuple(jnp.asarray(f["scale"]) for f in fam_tabs),
+            inst_mat=tuple(jnp.asarray(f["mat"]) for f in fam_tabs),
+            inst_light=tuple(jnp.asarray(f["light"]) for f in fam_tabs),
+            tlas_nodes=tuple(jnp.asarray(f["tlas_nodes"])
+                             for f in fam_tabs),
+            inst_s_sph=tuple(jnp.asarray(f["s_sph"]) for f in fam_tabs),
+            inst_s_bw=tuple(jnp.asarray(f["s_bw"]) for f in fam_tabs),
+            inst_s_root=tuple(jnp.asarray(f["s_root"]) for f in fam_tabs),
+            inst_s_tbl=tuple(jnp.asarray(f["s_tbl"]) for f in fam_tabs),
+            inst_em_tris=tuple(jnp.asarray(f["em_tris"])
+                               for f in fam_tabs),
+            inst_em_n=tuple(jnp.asarray(f["em_n"]) for f in fam_tabs),
         )
         assert self.camera is not None, "scene needs a camera"
         return Scene(meta=meta, pack=pack, camera=self.camera)

@@ -28,9 +28,10 @@ KIND_TRI = 0
 KIND_SPHERE = 1
 KIND_RECT = 2
 KIND_DISK = 3
-KIND_INST = 4  # instanced triangle mesh (two-level BVH; no reference
-               # analogue — the reference re-loads the bunny OBJ per copy,
-               # src/main.cc:94-107)
+KIND_INST = 4  # instanced triangle mesh family: kind id KIND_INST + mesh
+               # index (multiple mesh families each share one BLAS; no
+               # reference analogue — the reference re-loads the bunny OBJ
+               # per copy, src/main.cc:94-107)
 
 LIGHT_POINT = 0
 LIGHT_DIRECTIONAL = 1
@@ -76,21 +77,21 @@ class SceneMeta:
     # static set of microfacet distribution kinds present (mf.GGX /
     # mf.BECKMANN); single-kind scenes compile only that branch
     present_mf_kinds: tuple | None = None
-    # instanced-mesh subsystem (two-level BVH): instance count + static
-    # BLAS/TLAS table sizes
-    n_inst: int = 0
-    n_blas_nodes: int = 0
-    n_blas_tris: int = 0
-    n_tlas_nodes: int = 0
+    # instanced-mesh subsystem: one entry PER MESH FAMILY (each family =
+    # one shared BLAS + its instances); empty tuples = no instancing
+    n_inst: tuple = ()
+    n_blas_nodes: tuple = ()
+    n_blas_tris: tuple = ()
+    n_tlas_nodes: tuple = ()
     # whether traversal should take the Pallas cull-sweep kernel (decided
     # at build time: TPU backend + tables fit VMEM; the builder only
     # populates the matching table layout, so this is also a memory-layout
     # contract)
     pallas_bvh: bool = False
-    pallas_blas: bool = False
+    pallas_blas: tuple = ()
     # 128-tri cull-group counts for the sweep kernel (ops/sweep_bvh.py)
     n_groups_bvh: int = 0
-    n_groups_blas: int = 0
+    n_groups_blas: tuple = ()
     # triangles per BVH leaf (static unroll factor in the XLA walk)
     bvh_leaf_size: int = 4
 
@@ -172,31 +173,31 @@ class ScenePack(NamedTuple):
     bvh_s_bw: jnp.ndarray       # [12,Tp] f32 Baldwin-Weber rows
     bvh_s_root: jnp.ndarray     # [8] f32 mesh sphere (SMEM)
     bvh_s_inst: jnp.ndarray     # [4] f32 identity instance row (SMEM)
-    # instanced-mesh subsystem: ONE shared BLAS (bottom-level BVH over the
-    # mesh in local space) + a per-instance table + a TLAS over instance
-    # world bounds. Instance transform is (uniform scale, translation).
-    blas_nodes: jnp.ndarray     # [Bb,8] f32 (row layout, XLA walk)
-    blas_tris: jnp.ndarray      # [Tb,9] f32
-    blas_n: jnp.ndarray         # [Tb,3] local-space face normals
-    blas_uv: jnp.ndarray        # [Tb,3,2] per-vertex texcoords
-    inst_off: jnp.ndarray       # [I,3] world translation
-    inst_scale: jnp.ndarray     # [I] uniform scale
-    inst_mat: jnp.ndarray       # [I] int32 material per instance
-    inst_light: jnp.ndarray     # [I] int32, -1 = not emissive
-    tlas_nodes: jnp.ndarray     # [K,8] top-level skip-link tree; leaf code
-                                #   = instance * 8 + 1
-    # shared-BLAS cull-sweep tables for the Pallas kernel (ops/sweep_bvh.py)
-    inst_s_sph: jnp.ndarray     # [8,Gp] f32 group spheres (local space)
-    inst_s_bw: jnp.ndarray      # [12,Tp] f32 Baldwin-Weber rows
-    inst_s_root: jnp.ndarray    # [8] f32 BLAS sphere (SMEM)
-    inst_s_tbl: jnp.ndarray     # [(I+1)*4] f32 flat (off.xyz, scale) (SMEM)
+    # instanced-mesh subsystem, one tuple entry per MESH FAMILY: a shared
+    # BLAS (bottom-level BVH over the mesh in local space) + a
+    # per-instance table + a TLAS over instance world bounds. Instance
+    # transform is (uniform scale, translation).
+    blas_nodes: tuple           # ([Bb,8] f32,)* (row layout, XLA walk)
+    blas_tris: tuple            # ([Tb,9] f32,)*
+    blas_n: tuple               # ([Tb,3] local-space face normals,)*
+    blas_uv: tuple              # ([Tb,3,2] per-vertex texcoords,)*
+    inst_off: tuple             # ([I,3] world translation,)*
+    inst_scale: tuple           # ([I] uniform scale,)*
+    inst_mat: tuple             # ([I] int32 material per instance,)*
+    inst_light: tuple           # ([I] int32, -1 = not emissive,)*
+    tlas_nodes: tuple           # ([K,8] skip-link; leaf = instance*8+1,)*
+    # shared-BLAS cull-sweep tables for the Pallas kernel, per mesh family
+    inst_s_sph: tuple           # ([8,Gp] f32 group spheres (local),)*
+    inst_s_bw: tuple            # ([12,Tp] f32 Baldwin-Weber rows,)*
+    inst_s_root: tuple          # ([8] f32 BLAS sphere (SMEM),)*
+    inst_s_tbl: tuple           # ([(I+1)*4] f32 flat off/scale (SMEM),)*
     # emissive-instance light-sampling table: the RAW local mesh, exactly
     # one row per real triangle. blas_tris cannot be used for sampling:
     # the BVH build pads leaves by DUPLICATING triangles, which would
     # double-cover their surface and bias the area pdf. Empty unless some
     # instance carries a light.
-    inst_em_tris: jnp.ndarray   # [Traw,9] f32 (p0, e1, e2)
-    inst_em_n: jnp.ndarray      # [Traw,3] f32 unit normals
+    inst_em_tris: tuple         # ([Traw,9] f32 (p0, e1, e2),)*
+    inst_em_n: tuple            # ([Traw,3] f32 unit normals,)*
 
 
 class Hit(NamedTuple):
@@ -245,22 +246,23 @@ def _kind_hits(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax,
                 )
             )
         kinds.append(KIND_TRI)
-    if meta.n_inst:
-        if meta.pallas_blas:
+    for mi in range(len(meta.n_inst)):
+        if meta.pallas_blas[mi]:
             from ..ops import sweep_bvh
             hits.append(sweep_bvh.intersect_sweep(
-                pack.inst_s_sph, pack.inst_s_bw, pack.inst_s_tbl,
-                pack.inst_s_root, meta.n_blas_tris, meta.n_groups_blas,
-                o, d, tmin, tmax, n_inst=meta.n_inst, any_hit=any_hit,
+                pack.inst_s_sph[mi], pack.inst_s_bw[mi],
+                pack.inst_s_tbl[mi], pack.inst_s_root[mi],
+                meta.n_blas_tris[mi], meta.n_groups_blas[mi],
+                o, d, tmin, tmax, n_inst=meta.n_inst[mi], any_hit=any_hit,
             ))
         else:
             from ..ops import bvh as bvh_ops
             hits.append(bvh_ops.intersect_instances(
-                pack.inst_off, pack.inst_scale,
-                pack.blas_nodes, pack.blas_tris, o, d, tmin, tmax,
+                pack.inst_off[mi], pack.inst_scale[mi],
+                pack.blas_nodes[mi], pack.blas_tris[mi], o, d, tmin, tmax,
                 leaf_size=meta.bvh_leaf_size, any_hit=any_hit,
             ))
-        kinds.append(KIND_INST)
+        kinds.append(KIND_INST + mi)
     if meta.n_sph:
         hits.append(
             isect_ops.intersect_spheres(o, d, tmin, tmax, pack.sph_c, pack.sph_r)
@@ -341,22 +343,23 @@ def intersect(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax,
                     [1.0 - (phi + jnp.pi) / (2.0 * jnp.pi),
                      (theta + jnp.pi / 2.0) / jnp.pi], axis=-1,
                 )
-        elif k == KIND_INST:
-            inst = index // meta.n_blas_tris
-            ti = index % meta.n_blas_tris
+        elif k >= KIND_INST:
+            mi = k - KIND_INST
+            inst = index // meta.n_blas_tris[mi]
+            ti = index % meta.n_blas_tris[mi]
             # bundled per-instance lookup (tiny table -> one-hot contraction)
             icols = jnp.concatenate(
-                [pack.inst_off, pack.inst_scale[:, None],
-                 pack.inst_mat[:, None].astype(jnp.float32),
-                 pack.inst_light[:, None].astype(jnp.float32)], axis=1,
+                [pack.inst_off[mi], pack.inst_scale[mi][:, None],
+                 pack.inst_mat[mi][:, None].astype(jnp.float32),
+                 pack.inst_light[mi][:, None].astype(jnp.float32)], axis=1,
             )
             irows = take_rows(icols, inst)
             mk = jnp.round(irows[:, 4]).astype(jnp.int32)
             lk = jnp.round(irows[:, 5]).astype(jnp.int32)
             if want_uv:
                 bcols = jnp.concatenate(
-                    [pack.blas_n, pack.blas_tris,
-                     pack.blas_uv.reshape(-1, 6)], axis=1,
+                    [pack.blas_n[mi], pack.blas_tris[mi],
+                     pack.blas_uv[mi].reshape(-1, 6)], axis=1,
                 )
                 brows = take_rows(bcols, ti)
                 nk = brows[:, :3]
@@ -384,7 +387,7 @@ def intersect(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax,
                     + uvs[:, 2] * wc[:, None]
                 )
             else:
-                nk = take_rows(pack.blas_n, ti)
+                nk = take_rows(pack.blas_n[mi], ti)
         elif k == KIND_RECT:
             # rect normals face the ray (reference: src/shape.h:427)
             nk, mk, lk = fetch(pack.rect_n, pack.rect_mat, pack.rect_light)

@@ -23,8 +23,8 @@ def main():
     width = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     scene = bunny_scene()
     meta, pack = scene.meta, scene.pack
-    assert meta.pallas_blas, "sweep tables not built (not on TPU?)"
-    print(f"tris {meta.n_blas_tris} groups {meta.n_groups_blas}")
+    assert meta.pallas_blas[0], "sweep tables not built (not on TPU?)"
+    print(f"tris {meta.n_blas_tris[0]} groups {meta.n_groups_blas[0]}")
 
     n = width * width
     cam = camera_mod.make_camera(
@@ -39,9 +39,9 @@ def main():
 
     def isect(o, d, tmin, tmax):
         return S.intersect_sweep(
-            pack.inst_s_sph, pack.inst_s_bw, pack.inst_s_tbl,
-            pack.inst_s_root, meta.n_blas_tris, meta.n_groups_blas,
-            o, d, tmin, tmax, n_inst=meta.n_inst)
+            pack.inst_s_sph[0], pack.inst_s_bw[0], pack.inst_s_tbl[0],
+            pack.inst_s_root[0], meta.n_blas_tris[0], meta.n_groups_blas[0],
+            o, d, tmin, tmax, n_inst=meta.n_inst[0])
 
     tmin = jnp.full((n,), RAY_EPS)
     tmax = jnp.full((n,), jnp.inf)
@@ -50,7 +50,7 @@ def main():
 
     hit = jsf(o, d, tmin, tmax)
     ht = jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)
-    nrm = take_rows(pack.blas_n, hit.index % meta.n_blas_tris)
+    nrm = take_rows(pack.blas_n[0], hit.index % meta.n_blas_tris[0])
     nrm = jnp.where((jnp.sum(nrm * d, axis=-1) < 0)[:, None], nrm, -nrm)
     wi = to_world(frame_from_z(nrm),
                   sample_cosine_hemisphere(

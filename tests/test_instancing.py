@@ -141,3 +141,40 @@ def test_emissive_instance_visible_directly():
     np.testing.assert_allclose(le[0], [8.0, 6.0, 4.0], rtol=1e-5)
     np.testing.assert_allclose(le[1], [8.0, 6.0, 4.0], rtol=1e-5)
     assert not np.asarray(hit.valid)[2] or np.asarray(hit.light_id)[2] < 0
+
+
+def test_multiple_instanced_mesh_families():
+    """Two different meshes, each with its own instances and shared BLAS,
+    must render like the fully flattened scene (r3 VERDICT task 5: the
+    one-mesh-per-scene assert is gone)."""
+    tris_a = _mesh(t=150, seed=21)
+    tris_b = _mesh(t=90, seed=22) * 0.6
+
+    def build(instanced: bool):
+        b = SceneBuilder("multi_inst" if instanced else "multi_flat")
+        b.set_camera(lookfrom=(0, 0, 9), lookat=(0, 0, 0), vfov=60)
+        b.add_env_light((0.25, 0.3, 0.4))
+        m0 = b.add_matte((0.7, 0.3, 0.2))
+        m1 = b.add_matte((0.2, 0.6, 0.3))
+        place_a = [((0, 0, 0), 1.0, m0), ((2.5, 0.5, 0), 1.4, m1)]
+        place_b = [((-2.5, -0.5, 0.5), 1.0, m1), ((0, 2.6, -0.5), 1.7, m0)]
+        if instanced:
+            mesh_a, _ = b.add_instanced_mesh(tris_a, place_a)
+            mesh_b, _ = b.add_instanced_mesh(tris_b, place_b)
+            assert (mesh_a, mesh_b) == (0, 1)
+        else:
+            for off, s, m in place_a:
+                b.add_mesh(tris_a, m, offset=off, scale=s)
+            for off, s, m in place_b:
+                b.add_mesh(tris_b, m, offset=off, scale=s)
+        return b.build(use_bvh=not instanced)
+
+    si, sf = build(True), build(False)
+    assert len(si.meta.n_inst) == 2 and si.meta.n_inst == (2, 2)
+    a = np.asarray(render(si, 48, 48, spp=1, integrator="debug"))
+    bimg = np.asarray(render(sf, 48, 48, spp=1, integrator="debug"))
+    np.testing.assert_allclose(a, bimg, rtol=1e-4, atol=1e-5)
+    # and one shaded wave agrees statistically
+    ia = np.asarray(render(si, 24, 24, spp=48, seed=2, max_depth=2))
+    ib = np.asarray(render(sf, 24, 24, spp=48, seed=2, max_depth=2))
+    assert abs(ia.mean() - ib.mean()) / ib.mean() < 0.08
