@@ -166,49 +166,55 @@ def flat_inst(inst_off, inst_scale) -> np.ndarray:
 def _sweep_kernel(sph_ref, bw_ref, inst_ref, root_ref, rays_ref,
                   t_ref, idx_ref, *refs,
                   n_tris, n_groups, n_inst, occlusion, with_stats,
-                  stream_bw=False):
-    """One 128-ray packet sweeps all instances. rays_ref[0] rows: ox oy oz
-    dx dy dz tmin tmax, each (1, RAYS).
+                  stream_bw=False, pps=8):
+    """PPS (packets-per-step) 128-ray packets sweep all instances per grid
+    step. rays_ref[p] rows: ox oy oz dx dy dz tmin tmax, each (1, RAYS).
 
-    Scratch: kscr (8, Gp) packed group keys (row 0 used), tscr/iscr
-    (8, RAYS) best-hit state in row 0 (refs, so the scan while-loop carry
-    stays scalar). stream_bw=True keeps the BW table in HBM (meshes beyond
-    VMEM): each tested group's [12,128] block is DMA'd into bscr first —
-    only the (tiny) sphere table must be resident."""
+    The packets are INDEPENDENT: per instance, phase 1 culls all PPS
+    packets (straight-line, so the chained cull matmuls of different
+    packets overlap), then ONE merged while-loop scans all PPS key arrays,
+    testing up to one group per packet per iteration. A single packet's
+    argmin -> extract -> slice -> dots chain is pure latency (~1.3us
+    measured); running PPS of them in the same loop body is what buys the
+    ILP back, and the PPS-wide grid steps amortize Pallas' per-step
+    overhead (~1.6us/step measured on all-dead packets).
+
+    Scratch: kscr (PPS, 8, Gp) packed group keys (row 0 used per packet),
+    tscr/iscr (PPS, 8, RAYS) best-hit state in row 0 (refs, so the scan
+    carry stays a scalar liveness bitmask). stream_bw=True keeps the BW
+    table in HBM (meshes beyond VMEM): each tested group's [12,128] block
+    is DMA'd into its packet's bscr slot first — only the (tiny) sphere
+    table must be resident."""
     if stream_bw:
         if with_stats:
-            stats_ref, kscr, tscr, iscr, bscr, bsem = refs
+            stats_ref, kscr, tscr, iscr, cscr, bscr, bsem = refs
         else:
             kscr, tscr, iscr, bscr, bsem = refs
     elif with_stats:
-        stats_ref, kscr, tscr, iscr = refs
+        stats_ref, kscr, tscr, iscr, cscr = refs
     else:
         kscr, tscr, iscr = refs
-    ox = rays_ref[0, 0]
-    oy = rays_ref[0, 1]
-    oz = rays_ref[0, 2]
-    dx = rays_ref[0, 3]
-    dy = rays_ref[0, 4]
-    dz = rays_ref[0, 5]
-    tmin = rays_ref[0, 6]
-    tmax = rays_ref[0, 7]
     gp = sph_ref.shape[1]
 
     def bits(x):
         return lax.bitcast_convert_type(x, jnp.int32)
 
-    tscr[0:1, :] = jnp.full((1, RAYS), jnp.inf, jnp.float32)
-    iscr[0:1, :] = jnp.zeros((1, RAYS), jnp.int32)
-    if with_stats:
-        stats_ref[pl.program_id(0), 0] = jnp.int32(0)
-        stats_ref[pl.program_id(0), 1] = jnp.int32(0)
+    def ray(p, f):
+        return rays_ref[p, f]                                    # (1, R)
 
-    d3 = jnp.concatenate([dx, dy, dz], axis=0)                   # (3, R)
+    for p in range(pps):
+        tscr[p, 0:1, :] = jnp.full((1, RAYS), jnp.inf, jnp.float32)
+        iscr[p, 0:1, :] = jnp.zeros((1, RAYS), jnp.int32)
+        if with_stats:
+            cscr[2 * p] = jnp.int32(0)
+            cscr[2 * p + 1] = jnp.int32(0)
+
     hp = lax.Precision.HIGHEST
     iota_gl = lax.broadcasted_iota(jnp.int32, (1, gp), 1)
     iota_rr = lax.broadcasted_iota(jnp.int32, (RAYS, RAYS), 0)
     ident = (iota_rr == lax.broadcasted_iota(
         jnp.int32, (RAYS, RAYS), 1)).astype(jnp.float32)
+    far_row = jnp.broadcast_to(jnp.int32(FAR_KEY), (1, gp)) | iota_gl
 
     for i in range(max(n_inst, 1)):
         # instance transform (identity row when non-instanced)
@@ -218,100 +224,115 @@ def _sweep_kernel(sph_ref, bw_ref, inst_ref, root_ref, rays_ref,
         ofz = inst_ref[base + 2]
         scl = inst_ref[base + 3]
         inv = 1.0 / scl
-        oxl = (ox - ofx) * inv
-        oyl = (oy - ofy) * inv
-        ozl = (oz - ofz) * inv
-        tminl = tmin * inv
-        # cap from the CURRENT best (previous instances included)
-        capw = jnp.minimum(tmax, tscr[0:1, :])
-        capl = capw * inv
-
-        od = oxl * dx + oyl * dy + ozl * dz                      # (1, R)
-        oo = oxl * oxl + oyl * oyl + ozl * ozl
-
-        # root pre-test: can any live ray touch the mesh sphere at all?
         rcx = root_ref[0]
         rcy = root_ref[1]
         rcz = root_ref[2]
         rr = root_ref[5]
-        rtc = (rcx - oxl) * dx + (rcy - oyl) * dy + (rcz - ozl) * dz
-        rm2 = ((rcx - oxl) ** 2 + (rcy - oyl) ** 2 + (rcz - ozl) ** 2
-               - rtc * rtc)
-        rhit = ((rm2 <= rr * rr * 1.0001 + 1e-5)
-                & (rtc + rr >= tminl) & (rtc - rr <= capl)
-                & (capl >= tminl))
-        any_root = jnp.max(jnp.where(rhit, 1, 0))
 
-        @pl.when(any_root > 0)
-        def _instance():
-            o3 = jnp.concatenate([oxl, oyl, ozl], axis=0)        # (3, R)
-            c3 = sph_ref[0:3, :]                                 # (3, Gp)
-            cc = sph_ref[3:4, :]                                 # (1, Gp)
-            r2 = sph_ref[4:5, :]
-            rad = sph_ref[5:6, :]
-            # (R, Gp): rays on sublanes, groups on lanes — the ray-reduce
-            # then lands the keys lanes-major, where scan ops are cheap
-            cd = lax.dot_general(d3, c3, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=hp)
-            co = lax.dot_general(o3, c3, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=hp)
-            # per-ray scalars as (R,1) columns via one identity matmul;
-            # clamp the infinities (dead-lane tmin, open tmax) to FAR
-            # first — 0 * inf = NaN would poison the transpose
-            prow = jnp.concatenate(
-                [od, oo, jnp.minimum(tminl, FAR), jnp.minimum(capl, FAR)],
-                axis=0)                                            # (4,R)
-            pcol = lax.dot_general(ident, prow, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=hp)                   # (R,4)
-            odc = pcol[:, 0:1]
-            ooc = pcol[:, 1:2]
-            tminc = pcol[:, 2:3]
-            capc = pcol[:, 3:4]
-            tc = cd - odc                                        # (R, Gp)
-            m2 = cc - 2.0 * co + ooc - tc * tc
-            # rounding slack: over-cull only, never under-cull
-            slack = (cc + 2.0 * jnp.abs(co) + ooc + tc * tc) * 1e-6
-            hit = ((m2 <= r2 + slack)
-                   & (tc + rad >= tminc) & (tc - rad <= capc)
-                   & (capc >= tminc))
-            # packed key: WORLD-unit conservative entry distance | group id
-            tw = jnp.maximum(tc - rad, 0.0) * scl
-            key = jnp.where(hit, bits(tw) & ~GMASK, FAR_KEY)
-            key = jnp.min(key, axis=0, keepdims=True)            # (1, Gp)
-            key = jnp.where(iota_gl < n_groups, key | iota_gl,
-                            FAR_KEY | iota_gl)
-            kscr[0:1, :] = key
+        def local_rays(p):
+            oxl = (ray(p, 0) - ofx) * inv
+            oyl = (ray(p, 1) - ofy) * inv
+            ozl = (ray(p, 2) - ofz) * inv
+            return oxl, oyl, ozl, ray(p, 3), ray(p, 4), ray(p, 5)
 
-            one = jnp.ones((1, RAYS), jnp.float32)
-            zero = jnp.zeros((1, RAYS), jnp.float32)
-            o4 = jnp.concatenate([oxl, oyl, ozl, one], axis=0)
-            d4 = jnp.concatenate([dx, dy, dz, zero], axis=0)
+        # ---- phase 1: cull all PPS packets (independent chains) ----------
+        for p in range(pps):
+            oxl, oyl, ozl, dx, dy, dz = local_rays(p)
+            tminl = ray(p, 6) * inv
+            capw = jnp.minimum(ray(p, 7), tscr[p, 0:1, :])
+            capl = capw * inv
+            od = oxl * dx + oyl * dy + ozl * dz                  # (1, R)
+            oo = oxl * oxl + oyl * oyl + ozl * ozl
+            # root pre-test: can any live ray touch the mesh sphere?
+            rtc = (rcx - oxl) * dx + (rcy - oyl) * dy + (rcz - ozl) * dz
+            rm2 = ((rcx - oxl) ** 2 + (rcy - oyl) ** 2
+                   + (rcz - ozl) ** 2 - rtc * rtc)
+            rhit = ((rm2 <= rr * rr * 1.0001 + 1e-5)
+                    & (rtc + rr >= tminl) & (rtc - rr <= capl)
+                    & (capl >= tminl))
+            any_root = jnp.max(jnp.where(rhit, 1, 0))
+            # stale keys from the previous instance must never leak
+            kscr[p, 0:1, :] = far_row
 
-            def cond(carry):
-                return carry > 0
+            @pl.when(any_root > 0)
+            def _cull(p=p, oxl=oxl, oyl=oyl, ozl=ozl, dx=dx, dy=dy, dz=dz,
+                      od=od, oo=oo, tminl=tminl, capl=capl):
+                o3 = jnp.concatenate([oxl, oyl, ozl], axis=0)    # (3, R)
+                d3 = jnp.concatenate([dx, dy, dz], axis=0)
+                c3 = sph_ref[0:3, :]                             # (3, Gp)
+                cc = sph_ref[3:4, :]
+                r2 = sph_ref[4:5, :]
+                rad = sph_ref[5:6, :]
+                # (R, Gp): rays on sublanes, groups on lanes — the
+                # ray-reduce lands the keys lanes-major for cheap scans
+                cd = lax.dot_general(d3, c3, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=hp)
+                co = lax.dot_general(o3, c3, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=hp)
+                # per-ray scalars as (R,1) columns via one identity
+                # matmul; clamp infinities first (0 * inf = NaN)
+                prow = jnp.concatenate(
+                    [od, oo, jnp.minimum(tminl, FAR),
+                     jnp.minimum(capl, FAR)], axis=0)            # (4, R)
+                pcol = lax.dot_general(ident, prow,
+                                       (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=hp)             # (R, 4)
+                odc = pcol[:, 0:1]
+                ooc = pcol[:, 1:2]
+                tminc = pcol[:, 2:3]
+                capc = pcol[:, 3:4]
+                tc = cd - odc                                    # (R, Gp)
+                m2 = cc - 2.0 * co + ooc - tc * tc
+                # rounding slack: over-cull only, never under-cull
+                slack = (cc + 2.0 * jnp.abs(co) + ooc + tc * tc) * 1e-6
+                hit = ((m2 <= r2 + slack)
+                       & (tc + rad >= tminc) & (tc - rad <= capc)
+                       & (capc >= tminc))
+                # packed key: WORLD conservative entry distance | group id
+                tw = jnp.maximum(tc - rad, 0.0) * scl
+                key = jnp.where(hit, bits(tw) & ~GMASK, FAR_KEY)
+                key = jnp.min(key, axis=0, keepdims=True)        # (1, Gp)
+                key = jnp.where(iota_gl < n_groups, key | iota_gl,
+                                FAR_KEY | iota_gl)
+                kscr[p, 0:1, :] = key
+                if with_stats:
+                    cscr[2 * p] = cscr[2 * p] + 1
 
-            def body(carry):
-                kmin = jnp.min(kscr[0:1, :])
+        # ---- phase 2: merged near-to-far scan over all PPS packets -------
+        def cond(carry):
+            return carry != 0
+
+        def body(carry):
+            newmask = jnp.int32(0)
+            for p in range(pps):
+                kmin = jnp.min(kscr[p, 0:1, :])
                 g = kmin & GMASK
                 dist = kmin & ~GMASK
-                capw2 = jnp.minimum(tmax, tscr[0:1, :])
+                capw2 = jnp.minimum(ray(p, 7), tscr[p, 0:1, :])
                 bound = jnp.max(bits(capw2))
                 live = (dist < bound) & (dist < FAR_KEY)
 
                 @pl.when(live)
-                def _test():
+                def _test(p=p, g=g, capw2=capw2):
+                    oxl, oyl, ozl, dx, dy, dz = local_rays(p)
+                    tminl = ray(p, 6) * inv
+                    one = jnp.ones((1, RAYS), jnp.float32)
+                    zero = jnp.zeros((1, RAYS), jnp.float32)
+                    o4 = jnp.concatenate([oxl, oyl, ozl, one], axis=0)
+                    d4 = jnp.concatenate([dx, dy, dz, zero], axis=0)
                     blk = pl.multiple_of(g * GROUP, GROUP)
                     if stream_bw:
                         dma = pltpu.make_async_copy(
-                            bw_ref.at[:, pl.ds(blk, GROUP)], bscr, bsem)
+                            bw_ref.at[:, pl.ds(blk, GROUP)],
+                            bscr.at[p], bsem.at[p])
                         dma.start()
                         dma.wait()
-                        b0 = bscr[0:4, :]
-                        b1 = bscr[4:8, :]
-                        b2 = bscr[8:12, :]
+                        b0 = bscr[p, 0:4, :]
+                        b1 = bscr[p, 4:8, :]
+                        b2 = bscr[p, 8:12, :]
                     else:
                         b0 = bw_ref[0:4, pl.ds(blk, GROUP)]
                         b1 = bw_ref[4:8, pl.ds(blk, GROUP)]
@@ -335,37 +356,44 @@ def _sweep_kernel(sph_ref, bw_ref, inst_ref, root_ref, rays_ref,
                           & (t > tminl) & (t_w < capw2))
                     t_w = jnp.where(ok, 0.0 if occlusion else t_w, jnp.inf)
                     # exact-t reduce + packed index reduce over tris
-                    t_new = jnp.min(t_w, axis=0, keepdims=True)   # (1, R)
+                    t_new = jnp.min(t_w, axis=0, keepdims=True)  # (1, R)
                     sub = lax.broadcasted_iota(jnp.int32, (GROUP, RAYS), 0)
                     pk = jnp.where(ok, (bits(t_w) & ~TMASK) | sub,
                                    FAR_BITS | TMASK)
                     pk = jnp.min(pk, axis=0, keepdims=True)
                     tri = (i * n_tris) + g * GROUP + (pk & TMASK)
-                    better = t_new < tscr[0:1, :]
-                    iscr[0:1, :] = jnp.where(better, tri, iscr[0:1, :])
-                    tscr[0:1, :] = jnp.where(better, t_new, tscr[0:1, :])
+                    better = t_new < tscr[p, 0:1, :]
+                    iscr[p, 0:1, :] = jnp.where(better, tri,
+                                                iscr[p, 0:1, :])
+                    tscr[p, 0:1, :] = jnp.where(better, t_new,
+                                                tscr[p, 0:1, :])
                     if with_stats:
-                        stats_ref[pl.program_id(0), 1] = (
-                            stats_ref[pl.program_id(0), 1] + 1)
+                        cscr[2 * p + 1] = cscr[2 * p + 1] + 1
 
                 # retire this group
-                kscr[0:1, :] = jnp.where(iota_gl == g, FAR_KEY | iota_gl,
-                                         kscr[0:1, :])
-                return jnp.where(live, jnp.int32(1), jnp.int32(0))
+                kscr[p, 0:1, :] = jnp.where(iota_gl == g,
+                                            FAR_KEY | iota_gl,
+                                            kscr[p, 0:1, :])
+                newmask = newmask | jnp.where(live, jnp.int32(1) << p,
+                                              jnp.int32(0))
+            return newmask
 
-            lax.while_loop(cond, body, jnp.int32(1))
-            if with_stats:
-                stats_ref[pl.program_id(0), 0] = (
-                    stats_ref[pl.program_id(0), 0] + 1)
+        lax.while_loop(cond, body, jnp.int32((1 << pps) - 1))
 
-    t_ref[0] = tscr[0:1, :].reshape(1, RAYS)
-    idx_ref[0] = iscr[0:1, :].reshape(1, RAYS)
+    lane = lax.broadcasted_iota(jnp.int32, (1, RAYS), 1)
+    for p in range(pps):
+        t_ref[p] = tscr[p, 0:1, :].reshape(1, RAYS)
+        idx_ref[p] = iscr[p, 0:1, :].reshape(1, RAYS)
+        if with_stats:
+            stats_ref[p] = jnp.where(lane == 0, cscr[2 * p],
+                                     jnp.where(lane == 1, cscr[2 * p + 1],
+                                               0))
 
 
-def _rays_tiles(o, d, tmin, tmax):
-    """[N] ray batch -> [n_tiles, 8 fields, 1, RAYS]; dead padding."""
+def _rays_tiles(o, d, tmin, tmax, pps):
+    """[N] ray batch -> [n_steps*pps, 8 fields, 1, RAYS]; dead padding."""
     n = o.shape[0]
-    pad = (-n) % RAYS
+    pad = (-n) % (RAYS * pps)
     n_tiles = (n + pad) // RAYS
 
     def pad1(x, fill):
@@ -382,7 +410,8 @@ def _rays_tiles(o, d, tmin, tmax):
 def intersect_sweep(sph, bw, inst_flat, root, n_tris, n_groups,
                     o, d, tmin, tmax, *, n_inst: int = 0,
                     any_hit: bool = False, interpret: bool = False,
-                    with_stats: bool = False, stream_bw: bool | None = None):
+                    with_stats: bool = False, stream_bw: bool | None = None,
+                    pps: int = 8):
     """MXU cull-sweep closest/any hit over 128-ray packets.
 
     sph [8,Gp] f32, bw [12,Tp] f32, inst_flat [(I+1)*4] f32 (SMEM),
@@ -392,8 +421,9 @@ def intersect_sweep(sph, bw, inst_flat, root, n_tris, n_groups,
     the BW table in HBM and DMAs tested blocks (defaults to whether the
     table fits VMEM)."""
     n = o.shape[0]
-    rays = _rays_tiles(o, d, tmin, tmax)
+    rays = _rays_tiles(o, d, tmin, tmax, pps)
     n_tiles = rays.shape[0]
+    n_steps = n_tiles // pps
     gp = sph.shape[1]
     if stream_bw is None:
         stream_bw = not fits_vmem(n_tris)
@@ -401,12 +431,12 @@ def intersect_sweep(sph, bw, inst_flat, root, n_tris, n_groups,
     kernel = functools.partial(
         _sweep_kernel, n_tris=n_tris, n_groups=n_groups,
         n_inst=n_inst, occlusion=any_hit, with_stats=with_stats,
-        stream_bw=stream_bw,
+        stream_bw=stream_bw, pps=pps,
     )
     out_specs = [
-        pl.BlockSpec((1, 1, RAYS), lambda i: (i, 0, 0),
+        pl.BlockSpec((pps, 1, RAYS), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, RAYS), lambda i: (i, 0, 0),
+        pl.BlockSpec((pps, 1, RAYS), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
@@ -414,12 +444,13 @@ def intersect_sweep(sph, bw, inst_flat, root, n_tris, n_groups,
         jax.ShapeDtypeStruct((n_tiles, 1, RAYS), jnp.int32),
     ]
     if with_stats:
-        out_specs.append(pl.BlockSpec((n_tiles, 2), lambda i: (0, 0),
-                                      memory_space=pltpu.SMEM))
-        out_shape.append(jax.ShapeDtypeStruct((n_tiles, 2), jnp.int32))
+        out_specs.append(pl.BlockSpec((pps, 1, RAYS), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles, 1, RAYS),
+                                              jnp.int32))
     outs = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((8, gp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -430,17 +461,18 @@ def intersect_sweep(sph, bw, inst_flat, root, n_tris, n_groups,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(root.shape, lambda i: (0,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, 1, RAYS), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((pps, 8, 1, RAYS), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((8, gp), jnp.int32),
-            pltpu.VMEM((8, RAYS), jnp.float32),
-            pltpu.VMEM((8, RAYS), jnp.int32),
-        ] + ([pltpu.VMEM((12, GROUP), jnp.float32),
-              pltpu.SemaphoreType.DMA] if stream_bw else []),
+            pltpu.VMEM((pps, 8, gp), jnp.int32),
+            pltpu.VMEM((pps, 8, RAYS), jnp.float32),
+            pltpu.VMEM((pps, 8, RAYS), jnp.int32),
+        ] + ([pltpu.SMEM((2 * pps,), jnp.int32)] if with_stats else [])
+          + ([pltpu.VMEM((pps, 12, GROUP), jnp.float32),
+              pltpu.SemaphoreType.DMA((pps,))] if stream_bw else []),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,
         ),
@@ -451,5 +483,5 @@ def intersect_sweep(sph, bw, inst_flat, root, n_tris, n_groups,
     idx = outs[1].reshape(-1)[:n]
     hit = KindHit(t=t, index=idx, valid=jnp.isfinite(t))
     if with_stats:
-        return hit, outs[2]
+        return hit, outs[2][:, 0, 0:2]
     return hit

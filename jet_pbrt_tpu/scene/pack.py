@@ -473,7 +473,14 @@ def occluded(meta: SceneMeta, pack: ScenePack, p_from, p_to,
 
     mask: optional [N] bool; lanes with mask=False trace nothing (their
     interval is emptied so BVH tiles full of them exit immediately) and
-    report unoccluded."""
+    report unoccluded.
+
+    For Pallas-sweep scenes the shadow batch is internally permuted by
+    (dead, direction octant, origin Morton) and un-permuted afterwards:
+    env-light shadow rays scatter over the whole sphere and mostly miss,
+    so the any-hit bound never tightens and every culled group gets
+    tested — direction-octant packets shrink each packet's culled-group
+    union severalfold. The permutation is estimator-invisible."""
     delta = p_to - p_from
     dist = jnp.sqrt(jnp.maximum(dot(delta, delta), 1e-20))
     d = delta / dist[:, None]
@@ -482,13 +489,35 @@ def occluded(meta: SceneMeta, pack: ScenePack, p_from, p_to,
     if mask is not None:
         tmin = jnp.where(mask, tmin, jnp.inf)
         tmax = jnp.where(mask, tmax, -1.0)
-    hits, kinds = _kind_hits(meta, pack, p_from, d, tmin, tmax,
+    o = p_from
+    sort = bool(meta.pallas_bvh or any(meta.pallas_blas))
+    if sort:
+        from ..ops import sort as sort_ops
+
+        octant = (
+            (d[:, 0] > 0).astype(jnp.int32)
+            | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+            | ((d[:, 2] > 0).astype(jnp.int32) << 2)
+        )
+        world_lo = pack.world_center - pack.world_radius
+        world_inv = 1.0 / jnp.maximum(2.0 * pack.world_radius, 1e-12)
+        q = jnp.clip(((o - world_lo) * world_inv * 128.0).astype(jnp.int32),
+                     0, 127)
+        code = sort_ops.morton3(q)
+        key = (octant << 21) | code
+        alive = tmax > 0.0
+        key = jnp.where(alive, key, jnp.int32(1 << 26))
+        perm = jnp.argsort(key)
+        o, d, tmin, tmax = (v[perm] for v in (o, d, tmin, tmax))
+    hits, kinds = _kind_hits(meta, pack, o, d, tmin, tmax,
                              any_hit=True)
     if not hits:
         return jnp.zeros(dist.shape, bool)
     occ = hits[0].valid
     for h in hits[1:]:
         occ = occ | h.valid
+    if sort:
+        occ = jnp.zeros_like(occ).at[perm].set(occ)
     return occ
 
 

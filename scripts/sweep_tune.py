@@ -37,11 +37,14 @@ def main():
     y = (ids // width).astype(jnp.float32) + jitter[:, 1]
     o, d = camera_mod.generate_rays(cam, jnp.stack([x, y], axis=-1))
 
+    import os
+    pps = int(os.environ.get("PPS", "8"))
+
     def isect(o, d, tmin, tmax):
         return S.intersect_sweep(
             pack.inst_s_sph[0], pack.inst_s_bw[0], pack.inst_s_tbl[0],
             pack.inst_s_root[0], meta.n_blas_tris[0], meta.n_groups_blas[0],
-            o, d, tmin, tmax, n_inst=meta.n_inst[0])
+            o, d, tmin, tmax, n_inst=meta.n_inst[0], pps=pps)
 
     tmin = jnp.full((n,), RAY_EPS)
     tmax = jnp.full((n,), jnp.inf)
