@@ -213,24 +213,49 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
         ray_d = jnp.where(active[:, None], wi_world, ray_d)
 
         if sort_rays:
-            # regroup lanes for the next bounce's traversal (ops/sort.py)
+            # regroup lanes for the next bounce's traversal (ops/sort.py).
+            # ONE variadic lax.sort carries the whole path state as scalar
+            # payload columns (~0.3 ms/column at 1M lanes) — gathering
+            # state through an argsort perm costs several ms per array and
+            # permutation scatters ~25x more (scripts/perm_micro.py).
             world_lo = pack.world_center - pack.world_radius
             world_inv = 1.0 / jnp.maximum(2.0 * pack.world_radius, 1e-12)
+            needs = sort_ops.bvh_needed(
+                meta, pack, _sg(ray_o), _sg(ray_d),
+                jnp.where(active, pack.ray_eps, jnp.inf),
+                jnp.where(active, jnp.inf, -1.0))
             skey = sort_ops.ray_sort_key(
                 active, _sg(ray_o), _sg(ray_d), _sg(world_lo),
-                jnp.broadcast_to(_sg(world_inv), (3,)),
+                jnp.broadcast_to(_sg(world_inv), (3,)), needs_bvh=needs,
             )
-            perm = jnp.argsort(skey)
-            L, beta, ray_o, ray_d = (
-                x[perm] for x in (L, beta, ray_o, ray_d)
-            )
-            active, prev_specular, prev_pdf, lane, u = (
-                x[perm] for x in (active, prev_specular, prev_pdf, lane, u)
-            )
+            key_u = rng.is_key_array(u)
+            ucols = (tuple(jax.random.key_data(u).T) if key_u else ())
+            lane_prev = lane
+            outs = jax.lax.sort(
+                (skey,
+                 L[:, 0], L[:, 1], L[:, 2],
+                 beta[:, 0], beta[:, 1], beta[:, 2],
+                 ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
+                 ray_d[:, 0], ray_d[:, 1], ray_d[:, 2],
+                 active, prev_specular, prev_pdf, lane) + ucols,
+                num_keys=1)
+            L = jnp.stack(outs[1:4], axis=-1)
+            beta = jnp.stack(outs[4:7], axis=-1)
+            ray_o = jnp.stack(outs[7:10], axis=-1)
+            ray_d = jnp.stack(outs[10:13], axis=-1)
+            active, prev_specular, prev_pdf, lane = outs[13:17]
+            if key_u:
+                u = jax.random.wrap_key_data(
+                    jnp.stack(outs[17:], axis=-1).astype(jnp.uint32))
+            else:
+                # debug-tensor path (tests): recover this bounce's perm
+                # from the lane columns and gather
+                u = u[jnp.argsort(lane_prev)[lane]]
 
     if sort_rays:
-        # undo the lane permutation so row i is pixel i again
-        L = jnp.zeros_like(L).at[lane].set(L)
+        # undo the lane permutation so row i is pixel i again (gather by
+        # the inverse perm; a .at[lane].set scatter is ~25x slower)
+        L = L[jnp.argsort(lane)]
     # invalid-sample guard (reference: src/integrator.cc:104 checks validity)
     L = jnp.where(jnp.isfinite(L), L, 0.0)
     if with_stats:

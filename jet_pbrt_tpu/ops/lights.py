@@ -297,14 +297,46 @@ def pdf_li(meta, pack, light_index: int, shade_pos, wi) -> jnp.ndarray:
     sk, si = lm.shape_kind, lm.shape_idx
     from ..scene.pack import KIND_INST
     if sk >= KIND_INST:
-        # MIS for emissive instances would need a per-direction re-traversal
-        # of the BLAS to recover the sampled pdf; the reference estimator
-        # (NEE without MIS) never calls this. Fail loudly at trace time
-        # instead of silently double-counting.
-        raise NotImplementedError(
-            "mis=True with emissive instances is not supported; render "
-            "with the reference NEE estimator (mis=False)"
-        )
+        # Emissive INSTANCE: Pdf_Li semantics follow the reference's
+        # re-intersect-then-convert scheme (reference: src/light.h:224-244
+        # -> src/shape.h:147-181) generalized to the per-triangle sampler of
+        # _sample_shape_position: re-intersect THIS instance's mesh alone
+        # (the reference's Pdf_Direction also re-intersects only the light's
+        # own shape), and at the hit triangle k the area pdf is
+        # 1/(t_count * area_k), so pdf_sa = d^2 / (cos * t_count * area_k).
+        from ..ops.gather import take_rows
+
+        mi = sk - KIND_INST
+        off = pack.inst_off[mi][si]
+        scl = pack.inst_scale[mi][si]
+        inv = 1.0 / scl
+        o_l = (shade_pos - off[None, :]) * inv
+        tmin_l = jnp.full((n,), 1e-3, jnp.float32) * inv
+        tmax_l = jnp.full((n,), jnp.inf, jnp.float32)
+        if meta.pallas_blas[mi]:
+            from . import sweep_bvh
+            h = sweep_bvh.intersect_sweep(
+                pack.inst_s_sph[mi], pack.inst_s_bw[mi], pack.bvh_s_inst,
+                pack.inst_s_root[mi], meta.n_blas_tris[mi],
+                meta.n_groups_blas[mi], o_l, wi, tmin_l, tmax_l)
+        else:
+            from . import bvh as bvh_ops
+            h = bvh_ops.intersect_bvh(
+                pack.blas_nodes[mi], pack.blas_tris[mi], o_l, wi,
+                tmin_l, tmax_l, leaf_size=meta.bvh_leaf_size)
+        ti = jnp.clip(h.index, 0, meta.n_blas_tris[mi] - 1)
+        rows = take_rows(
+            jnp.concatenate([pack.blas_tris[mi], pack.blas_n[mi]], axis=1),
+            ti)
+        e1, e2 = rows[:, 3:6], rows[:, 6:9]
+        ln = rows[:, 9:12]
+        area_w = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1) * scl * scl
+        t_count = pack.inst_em_tris[mi].shape[0]
+        t_w = jnp.where(h.valid, h.t, 1.0) * scl
+        lp = shade_pos + t_w[:, None] * wi
+        pdf = distance2(shade_pos, lp) / jnp.maximum(
+            jnp.abs(dot(ln, -wi)) * t_count * area_w, 1e-12)
+        return jnp.where(h.valid & jnp.isfinite(pdf), pdf, 0.0)
     tmin = jnp.full((n,), 1e-3, jnp.float32)
     tmax = jnp.full((n,), jnp.inf, jnp.float32)
 

@@ -42,11 +42,17 @@ def morton3(q: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def ray_sort_key(active, o, d, world_lo, world_inv) -> jnp.ndarray:
-    """Sort key per lane: (dead, origin Morton, direction octant).
+def ray_sort_key(active, o, d, world_lo, world_inv,
+                 needs_bvh=None) -> jnp.ndarray:
+    """Sort key per lane: (dead, [no-BVH-work], origin Morton, octant).
 
     world_lo: [3] scene AABB min; world_inv: [3] 1/extent. Dead lanes get
     the largest keys so live rays pack densely at the front of the wave.
+
+    needs_bvh: optional [N] bool — live lanes whose ray cannot touch any
+    BVH root sphere sort BEHIND the ones that can, so the (expensive)
+    traversal packets stay dense and the rest retire on the kernel's
+    per-packet root pre-test. See bvh_needed().
 
     Origin-MAJOR, octant-minor: bounce-ray origins are hit points, so
     fine spatial clustering groups rays that will cull to the same
@@ -63,4 +69,79 @@ def ray_sort_key(active, o, d, world_lo, world_inv) -> jnp.ndarray:
         | ((d[:, 2] > 0).astype(jnp.int32) << 2)
     )
     key = (code << 3) | octant
+    if needs_bvh is not None:
+        key = key | jnp.where(needs_bvh, 0, jnp.int32(1 << 25))
     return jnp.where(active, key, jnp.int32(1 << 26))
+
+
+def bvh_needed(meta, pack, o, d, tmin, tmax) -> jnp.ndarray:
+    """[N] bool: could the ray segment touch ANY BVH root sphere?
+
+    A ~30-flop/lane/instance dense pre-test (XLA elementwise, no kernel)
+    that feeds the sort keys: most bounce/shadow rays in an instanced
+    scene miss every instance, and packing the misses together turns
+    whole 128-ray packets into one-root-test exits inside the sweep
+    kernel. Conservative: padding-radius slack over-includes only."""
+    n = o.shape[0]
+    need = jnp.zeros((n,), bool)
+
+    def seg_hits_sphere(c, r):
+        oc = c[None, :] - o
+        tc = jnp.sum(oc * d, axis=-1)
+        m2 = jnp.sum(oc * oc, axis=-1) - tc * tc
+        return ((m2 <= r * r * 1.0001 + 1e-5)
+                & (tc + r >= tmin) & (tc - r <= tmax) & (tmax >= tmin))
+
+    if meta.pallas_bvh or meta.use_bvh and meta.n_tri:
+        if meta.pallas_bvh:
+            root = pack.bvh_s_root
+            need = need | seg_hits_sphere(root[0:3], root[5])
+        else:
+            # XLA-walk scenes: root AABB -> bounding sphere
+            lo = pack.bvh_nodes[0, :3] if pack.bvh_nodes.shape[0] else None
+            if lo is not None:
+                hi = pack.bvh_nodes[0, 3:6]
+                c = 0.5 * (lo + hi)
+                r = jnp.sqrt(jnp.sum((hi - c) ** 2))
+                need = need | seg_hits_sphere(c, r)
+    for mi in range(len(meta.n_inst)):
+        root = (pack.inst_s_root[mi] if meta.pallas_blas[mi]
+                else None)
+        if root is not None:
+            c_l = root[0:3]
+            r_l = root[5]
+            for i in range(meta.n_inst[mi]):
+                c = c_l * pack.inst_scale[mi][i] + pack.inst_off[mi][i]
+                need = need | seg_hits_sphere(
+                    c, r_l * pack.inst_scale[mi][i])
+        else:
+            # row-table path: BLAS root box through each instance transform
+            if pack.blas_nodes[mi].shape[0]:
+                lo = pack.blas_nodes[mi][0, :3]
+                hi = pack.blas_nodes[mi][0, 3:6]
+                c_l = 0.5 * (lo + hi)
+                r_l = jnp.sqrt(jnp.sum((hi - c_l) ** 2))
+                for i in range(meta.n_inst[mi]):
+                    c = c_l * pack.inst_scale[mi][i] + pack.inst_off[mi][i]
+                    need = need | seg_hits_sphere(
+                        c, r_l * pack.inst_scale[mi][i])
+    return need
+
+
+def shadow_sort_key(meta, pack, alive, o, d, tmin, tmax) -> jnp.ndarray:
+    """Shadow-batch key: (dead, no-BVH-work, direction octant, origin
+    Morton) — octant-major works better than origin-major for shadow
+    bundles, whose origins are already coherent from the parent sort."""
+    need = bvh_needed(meta, pack, o, d, tmin, tmax)
+    octant = (
+        (d[:, 0] > 0).astype(jnp.int32)
+        | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+        | ((d[:, 2] > 0).astype(jnp.int32) << 2)
+    )
+    world_lo = pack.world_center - pack.world_radius
+    world_inv = 1.0 / jnp.maximum(2.0 * pack.world_radius, 1e-12)
+    q = jnp.clip(((o - world_lo) * world_inv * 128.0).astype(jnp.int32),
+                 0, 127)
+    code = morton3(q)
+    key = code | (octant << 21) | jnp.where(need, 0, jnp.int32(1 << 24))
+    return jnp.where(alive, key, jnp.int32(1 << 30))

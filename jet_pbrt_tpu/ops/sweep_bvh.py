@@ -202,12 +202,59 @@ def _sweep_kernel(sph_ref, bw_ref, inst_ref, root_ref, rays_ref,
     def ray(p, f):
         return rays_ref[p, f]                                    # (1, R)
 
-    for p in range(pps):
-        tscr[p, 0:1, :] = jnp.full((1, RAYS), jnp.inf, jnp.float32)
-        iscr[p, 0:1, :] = jnp.zeros((1, RAYS), jnp.int32)
-        if with_stats:
+    # one vectorized init for all packets (pps tiny stores cost real time:
+    # Mosaic (1,128) ops run at ~50 ns each)
+    tscr[:, 0:1, :] = jnp.full((pps, 1, RAYS), jnp.inf, jnp.float32)
+    iscr[:, 0:1, :] = jnp.zeros((pps, 1, RAYS), jnp.int32)
+    if with_stats:
+        for p in range(pps):
             cscr[2 * p] = jnp.int32(0)
             cscr[2 * p + 1] = jnp.int32(0)
+
+    # whole-step early exit: with needy-first lane sorting most grid steps
+    # are ALL dead (tmax < 0) and must cost one reduce, not the 4-instance
+    # fixed work (~43 us/step measured without this, the old per-call
+    # floor of ~45 ms/1M lanes)
+    any_live = jnp.max(rays_ref[:, 7]) > 0.0
+
+    @pl.when(any_live)
+    def _step():
+        _sweep_step(sph_ref, bw_ref, inst_ref, root_ref, rays_ref,
+                    tscr, iscr, refs, n_tris=n_tris, n_groups=n_groups,
+                    n_inst=n_inst, occlusion=occlusion,
+                    with_stats=with_stats, stream_bw=stream_bw, pps=pps)
+
+    lane = lax.broadcasted_iota(jnp.int32, (1, RAYS), 1)
+    t_ref[:] = tscr[:, 0:1, :]
+    idx_ref[:] = iscr[:, 0:1, :]
+    if with_stats:
+        for p in range(pps):
+            stats_ref[p] = jnp.where(lane == 0, cscr[2 * p],
+                                     jnp.where(lane == 1, cscr[2 * p + 1],
+                                               0))
+
+
+def _sweep_step(sph_ref, bw_ref, inst_ref, root_ref, rays_ref,
+                tscr, iscr, refs,
+                *, n_tris, n_groups, n_inst, occlusion, with_stats,
+                stream_bw, pps):
+    """Cull + scan for one live grid step (see _sweep_kernel)."""
+    if stream_bw:
+        if with_stats:
+            stats_ref, kscr, _t, _i, cscr, bscr, bsem = refs
+        else:
+            kscr, _t, _i, bscr, bsem = refs
+    elif with_stats:
+        stats_ref, kscr, _t, _i, cscr = refs
+    else:
+        kscr, _t, _i = refs
+    gp = sph_ref.shape[1]
+
+    def bits(x):
+        return lax.bitcast_convert_type(x, jnp.int32)
+
+    def ray(p, f):
+        return rays_ref[p, f]                                    # (1, R)
 
     hp = lax.Precision.HIGHEST
     iota_gl = lax.broadcasted_iota(jnp.int32, (1, gp), 1)
@@ -236,6 +283,7 @@ def _sweep_kernel(sph_ref, bw_ref, inst_ref, root_ref, rays_ref,
             return oxl, oyl, ozl, ray(p, 3), ray(p, 4), ray(p, 5)
 
         # ---- phase 1: cull all PPS packets (independent chains) ----------
+        packet_mask = jnp.int32(0)   # packets whose root pre-test passed
         for p in range(pps):
             oxl, oyl, ozl, dx, dy, dz = local_rays(p)
             tminl = ray(p, 6) * inv
@@ -251,6 +299,8 @@ def _sweep_kernel(sph_ref, bw_ref, inst_ref, root_ref, rays_ref,
                     & (rtc + rr >= tminl) & (rtc - rr <= capl)
                     & (capl >= tminl))
             any_root = jnp.max(jnp.where(rhit, 1, 0))
+            packet_mask = packet_mask | jnp.where(
+                any_root > 0, jnp.int32(1) << p, jnp.int32(0))
             # stale keys from the previous instance must never leak
             kscr[p, 0:1, :] = far_row
 
@@ -378,16 +428,11 @@ def _sweep_kernel(sph_ref, bw_ref, inst_ref, root_ref, rays_ref,
                                               jnp.int32(0))
             return newmask
 
-        lax.while_loop(cond, body, jnp.int32((1 << pps) - 1))
-
-    lane = lax.broadcasted_iota(jnp.int32, (1, RAYS), 1)
-    for p in range(pps):
-        t_ref[p] = tscr[p, 0:1, :].reshape(1, RAYS)
-        idx_ref[p] = iscr[p, 0:1, :].reshape(1, RAYS)
-        if with_stats:
-            stats_ref[p] = jnp.where(lane == 0, cscr[2 * p],
-                                     jnp.where(lane == 1, cscr[2 * p + 1],
-                                               0))
+        # scan only packets whose root test passed; skip the loop (and its
+        # one guaranteed no-op iteration per packet) when none did
+        @pl.when(packet_mask != 0)
+        def _scan(packet_mask=packet_mask):
+            lax.while_loop(cond, body, packet_mask)
 
 
 def _rays_tiles(o, d, tmin, tmax, pps):

@@ -120,6 +120,52 @@ def test_emissive_instance_matches_flattened():
         np.abs(a4 - b4).max() / scale)
 
 
+def test_emissive_instance_mis_matches_nee():
+    """mis=True over an emissive-instance scene must converge to the same
+    image as the reference NEE estimator (r4 VERDICT task 5: pdf_li over
+    instanced mesh lights, matching src/light.h:224-244 semantics through
+    the instance transform — both estimators are unbiased)."""
+    s = _build_emissive(True)
+    nee = np.asarray(render(s, 24, 24, spp=768, seed=3, max_depth=2))
+    mis = np.asarray(render(s, 24, 24, spp=768, seed=7, max_depth=2,
+                            mis=True))
+    assert np.isfinite(mis).all()
+    assert abs(mis.mean() - nee.mean()) / nee.mean() < 0.06, (
+        mis.mean(), nee.mean())
+    m4 = mis.reshape(6, 4, 6, 4, 3).mean((1, 3))
+    n4 = nee.reshape(6, 4, 6, 4, 3).mean((1, 3))
+    scale = n4.mean()
+    assert (np.abs(m4 - n4) <= np.maximum(0.2 * n4, 0.2 * scale)).all(), (
+        np.abs(m4 - n4).max() / scale)
+
+
+def test_emissive_instance_pdf_li_matches_sampler():
+    """pdf_li(wi) must equal the pdf sample_li reports for the direction it
+    sampled (consistency of the MIS weights)."""
+    import jax.numpy as jnp
+    from jet_pbrt_tpu.ops import lights as light_ops
+
+    s = _build_emissive(True)
+    li_idx = next(i for i, lm in enumerate(s.meta.lights)
+                  if lm.shape_kind >= 4)
+    rng = np.random.default_rng(5)
+    shade = jnp.asarray(
+        rng.uniform(-3, 3, (64, 3)) * np.array([1, 0, 1]) + [0, 0.02, 0],
+        jnp.float32)
+    u = jnp.asarray(rng.uniform(0, 1, (64, 2)), jnp.float32)
+    ls = light_ops.sample_li(s.meta, s.pack, li_idx, shade, u)
+    pdf_re = light_ops.pdf_li(s.meta, s.pack, li_idx, shade, ls.wi)
+    a = np.asarray(ls.pdf)
+    b = np.asarray(pdf_re)
+    ok = a > 0
+    assert ok.mean() > 0.9
+    # re-derived pdf agrees wherever the sampled triangle is the first hit
+    # along wi (it can differ where another triangle of the same panel is
+    # closer; demand bulk agreement)
+    close = np.isclose(a[ok], b[ok], rtol=1e-3).mean()
+    assert close > 0.9, close
+
+
 def test_emissive_instance_visible_directly():
     """Rays that hit the emissive instance see its radiance: emitted()
     resolves inst_light through the TLAS instance permutation."""
