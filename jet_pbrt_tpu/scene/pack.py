@@ -464,7 +464,7 @@ def _tri_uv(pack: ScenePack, index, p):
 
 
 def occluded(meta: SceneMeta, pack: ScenePack, p_from, p_to,
-             mask=None) -> jnp.ndarray:
+             mask=None, sort: bool | None = None) -> jnp.ndarray:
     """Visibility between two points, ray range [eps, dist-eps]
     (reference: src/scene.h:36-52). Any hit in range occludes; unlike the
     reference — which runs a full closest-hit trace — the BVH kinds take a
@@ -499,7 +499,11 @@ def occluded(meta: SceneMeta, pack: ScenePack, p_from, p_to,
         tmin = jnp.where(mask, tmin, jnp.inf)
         tmax = jnp.where(mask, tmax, -1.0)
     o = p_from
-    sort = bool(meta.pallas_bvh or any(meta.pallas_blas))
+    if sort is None:
+        # production default: only sweep scenes benefit; `sort` is an
+        # explicit parameter so CPU tests exercise the permute/unpermute
+        # path exactly (r4 VERDICT task 7)
+        sort = bool(meta.pallas_bvh or any(meta.pallas_blas))
     if sort:
         from ..ops import sort as sort_ops
 

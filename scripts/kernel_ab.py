@@ -168,7 +168,8 @@ def main():
         return classes
 
     print("generating wave classes...", flush=True)
-    variants = [gen_class(s) for s in range(NVAR)]
+    gen_j = jax.jit(gen_class)   # eager would go op-by-op over the tunnel
+    variants = [gen_j(jnp.int32(s)) for s in range(NVAR)]
     jax.block_until_ready(variants)
 
     # ---- kernel wrappers -------------------------------------------------
@@ -204,13 +205,19 @@ def main():
         nlive = int(jnp.sum(vs[0][3] > 0))
         print(f"{cls}: live={nlive} ({100*nlive/n:.1f}%)", flush=True)
         row = {}
-        for label, fn in (
+        kernel_list = [
             ("sweep pps=8", sweep(8, any_hit)),
             ("sweep pps=4", sweep(4, any_hit)),
+            ("sweep pps=2", sweep(2, any_hit)),
             ("wide 4+4", wide(4, 4, any_hit)),
             ("wide 2+2", wide(2, 2, any_hit)),
-            ("xla walk", xla(any_hit)),
-        ):
+            ("wide 8+8", wide(8, 8, any_hit)),
+        ]
+        if os.environ.get("AB_XLA"):
+            # the 1M-lane gather-walk takes minutes per pass and can trip
+            # the TPU watchdog — opt-in only
+            kernel_list.append(("xla walk", xla(any_hit)))
+        for label, fn in kernel_list:
             try:
                 row[label] = timed(label, fn, vs)
             except Exception as e:  # noqa: BLE001
@@ -219,8 +226,10 @@ def main():
         results[cls] = (nlive, row)
 
     print("\n== summary (ms per 1M-lane pass; live counts in header) ==")
-    kernels = ["sweep pps=8", "sweep pps=4", "wide 4+4", "wide 2+2",
-               "xla walk"]
+    kernels = ["sweep pps=8", "sweep pps=4", "sweep pps=2", "wide 4+4",
+               "wide 2+2", "wide 8+8"]
+    if os.environ.get("AB_XLA"):
+        kernels.append("xla walk")
     print(f"{'class':<14}" + "".join(f"{k:>14}" for k in kernels))
     for cls, (nlive, row) in results.items():
         cells = "".join(

@@ -75,6 +75,29 @@ def test_instance_materials_resolve(scenes):
     assert img.mean() > 0.01
 
 
+def test_occluded_sort_path_exact(scenes):
+    """The shadow-batch permute -> any-hit -> unpermute path must return
+    EXACTLY the unsorted result lane-for-lane (r4 VERDICT task 7: the sort
+    machinery is now a parameter, so the CPU tier executes it — a wrong
+    unpermute gather flips shadow bits and fails here)."""
+    import jax.numpy as jnp
+    from jet_pbrt_tpu.scene import pack as scene_pack
+
+    s_inst, _ = scenes
+    rng = np.random.default_rng(9)
+    n = 700  # non-multiple of 128: exercises packet padding too
+    p_from = jnp.asarray(rng.uniform(-3, 3, (n, 3)), jnp.float32)
+    p_to = jnp.asarray(
+        rng.uniform(-2, 2, (n, 3)) * [1, 0, 1] + [0, 6, 0], jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=n) < 0.6)
+    occ_sorted = scene_pack.occluded(
+        s_inst.meta, s_inst.pack, p_from, p_to, mask=mask, sort=True)
+    occ_plain = scene_pack.occluded(
+        s_inst.meta, s_inst.pack, p_from, p_to, mask=mask, sort=False)
+    assert np.array_equal(np.asarray(occ_sorted), np.asarray(occ_plain))
+    assert 0 < int(np.asarray(occ_sorted).sum()) < n  # non-trivial batch
+
+
 def _build_emissive(instanced: bool):
     """A small emissive panel mesh (2 tris) instanced twice over a diffuse
     floor — the reference's CreateAreaLights-over-a-mesh case

@@ -65,9 +65,37 @@ def _mixed_rays(n, lookfrom=(-0.6, 0.8, -0.6), seed=0):
             jnp.full((n,), jnp.inf, jnp.float32))
 
 
+def _mt64(o, d, row):
+    """Float64 Möller-Trumbore of one ray against one (p0,e1,e2) row — the
+    host-side oracle for the tie forensic. Returns t (inf on miss)."""
+    p0, e1, e2 = (np.asarray(row[0:3], np.float64),
+                  np.asarray(row[3:6], np.float64),
+                  np.asarray(row[6:9], np.float64))
+    o = np.asarray(o, np.float64)
+    d = np.asarray(d, np.float64)
+    pv = np.cross(d, e2)
+    det = e1 @ pv
+    if abs(det) < 1e-18:
+        return np.inf
+    tv = o - p0
+    u = (tv @ pv) / det
+    qv = np.cross(tv, e1)
+    v = (d @ qv) / det
+    t = (e2 @ qv) / det
+    if u < -1e-6 or v < -1e-6 or u + v > 1.0 + 1e-6 or t <= 0:
+        return np.inf
+    return t
+
+
 def test_onchip_sweep_matches_xla():
     """Real-kernel cull-sweep parity on the ~66k-tri bunny (local space),
-    closest hit AND finite-tmax occlusion."""
+    closest hit AND finite-tmax occlusion. Disagreeing lanes must be
+    PROVABLE near-ties (r4 VERDICT task 4): both kernels' winning
+    triangles are re-evaluated in float64 on the host, and each reported
+    hit must be a genuine intersection of its own triangle whose exact
+    distances differ by <= the gate tolerance — a systematic under-cull
+    (sweep missing the truly nearer triangle by more than rounding) fails
+    here even if the aggregate ratios pass."""
     mt, nodes, leaf = _bunny_mt()
     bw, sph, root, ng = S.build_sweep_tables(mt)
     inst = S.flat_inst(np.zeros((0, 3), np.float32), np.zeros(0, np.float32))
@@ -90,6 +118,23 @@ def test_onchip_sweep_matches_xla():
     np.testing.assert_allclose(ts, tx, rtol=2e-2, atol=1e-3)
     same = np.asarray(h_s.index)[ok] == np.asarray(h_x.index)[ok]
     assert same.mean() > 0.995
+
+    # ---- tie forensic on every disagreeing lane -------------------------
+    on = np.asarray(o)[ok]
+    dn = np.asarray(d)[ok]
+    is_, ix_ = np.asarray(h_s.index)[ok], np.asarray(h_x.index)[ok]
+    bad = np.nonzero(~same | ~np.isclose(ts, tx, rtol=1e-4, atol=1e-4))[0]
+    for j in bad:
+        t_s64 = _mt64(on[j], dn[j], mt[is_[j]])
+        t_x64 = _mt64(on[j], dn[j], mt[ix_[j]])
+        # each kernel's reported hit is a real intersection of its triangle
+        assert np.isfinite(t_s64), (j, is_[j], ts[j])
+        assert np.isfinite(t_x64), (j, ix_[j], tx[j])
+        assert abs(ts[j] - t_s64) <= 2e-2 * t_s64 + 1e-3, (j, ts[j], t_s64)
+        assert abs(tx[j] - t_x64) <= 2e-2 * t_x64 + 1e-3, (j, tx[j], t_x64)
+        # and the two exact distances are a genuine near-tie
+        assert abs(t_s64 - t_x64) <= 2e-2 * min(t_s64, t_x64) + 1e-3, (
+            j, int(is_[j]), int(ix_[j]), t_s64, t_x64)
 
     # occlusion with the light just past / just short of the hit
     t_ref = np.asarray(h_x.t)
