@@ -71,7 +71,7 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
     packet).
     """
     if sort_rays is None:
-        sort_rays = bool(meta.pallas_bvh or any(meta.pallas_blas))
+        sort_rays = meta.kernel_routed
     n = o.shape[0]
     nl = meta.n_lights
     L = jnp.zeros((n, 3), jnp.float32)
@@ -213,11 +213,13 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
         ray_d = jnp.where(active[:, None], wi_world, ray_d)
 
         if sort_rays:
-            # regroup lanes for the next bounce's traversal (ops/sort.py).
-            # ONE variadic lax.sort carries the whole path state as scalar
-            # payload columns (~0.3 ms/column at 1M lanes) — gathering
-            # state through an argsort perm costs several ms per array and
-            # permutation scatters ~25x more (scripts/perm_micro.py).
+            # regroup lanes for the next bounce's traversal (ops/sort.py):
+            # argsort (ONE 2-operand sort, compiled once and reused by
+            # every sort site in the program) + ONE bitcast-packed [N,19]
+            # gather. A variadic lax.sort carrying the state is ~2x faster
+            # at runtime but costs ~35 s of XLA compile PER SITE at this
+            # payload count; permutation scatters are ~25x slower than the
+            # gather (scripts/perm_micro.py).
             world_lo = pack.world_center - pack.world_radius
             world_inv = 1.0 / jnp.maximum(2.0 * pack.world_radius, 1e-12)
             needs = sort_ops.bvh_needed(
@@ -228,29 +230,32 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
                 active, _sg(ray_o), _sg(ray_d), _sg(world_lo),
                 jnp.broadcast_to(_sg(world_inv), (3,)), needs_bvh=needs,
             )
+            perm = jnp.argsort(skey)
             key_u = rng.is_key_array(u)
-            ucols = (tuple(jax.random.key_data(u).T) if key_u else ())
-            lane_prev = lane
-            outs = jax.lax.sort(
-                (skey,
-                 L[:, 0], L[:, 1], L[:, 2],
-                 beta[:, 0], beta[:, 1], beta[:, 2],
-                 ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
-                 ray_d[:, 0], ray_d[:, 1], ray_d[:, 2],
-                 active, prev_specular, prev_pdf, lane) + ucols,
-                num_keys=1)
-            L = jnp.stack(outs[1:4], axis=-1)
-            beta = jnp.stack(outs[4:7], axis=-1)
-            ray_o = jnp.stack(outs[7:10], axis=-1)
-            ray_d = jnp.stack(outs[10:13], axis=-1)
-            active, prev_specular, prev_pdf, lane = outs[13:17]
+            f32 = jnp.float32
+            bc = lambda x: jax.lax.bitcast_convert_type(x, f32)
+            icols = [bc(lane)]
+            if key_u:
+                icols += [bc(jax.random.key_data(u).astype(jnp.uint32))]
+            state = jnp.concatenate(
+                [L, beta, ray_o, ray_d, prev_pdf[:, None],
+                 active[:, None].astype(f32),
+                 prev_specular[:, None].astype(f32)]
+                + [c if c.ndim == 2 else c[:, None] for c in icols],
+                axis=1)[perm]
+            L, beta = state[:, 0:3], state[:, 3:6]
+            ray_o, ray_d = state[:, 6:9], state[:, 9:12]
+            prev_pdf = state[:, 12]
+            active = state[:, 13] > 0.5
+            prev_specular = state[:, 14] > 0.5
+            ib = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+            lane = ib(state[:, 15])
             if key_u:
                 u = jax.random.wrap_key_data(
-                    jnp.stack(outs[17:], axis=-1).astype(jnp.uint32))
+                    jax.lax.bitcast_convert_type(
+                        state[:, 16:18], jnp.int32).astype(jnp.uint32))
             else:
-                # debug-tensor path (tests): recover this bounce's perm
-                # from the lane columns and gather
-                u = u[jnp.argsort(lane_prev)[lane]]
+                u = u[perm]
 
     if sort_rays:
         # undo the lane permutation so row i is pixel i again (gather by

@@ -307,31 +307,33 @@ def pdf_li(meta, pack, light_index: int, shade_pos, wi) -> jnp.ndarray:
         from ..ops.gather import take_rows
 
         mi = sk - KIND_INST
+        t_count = pack.inst_em_tris[mi].shape[0]
+        # re-intersect against the RAW emissive mesh table (unpadded — the
+        # traversal tables duplicate triangles for leaf padding, which
+        # would corrupt the area pdf). Brute-force is the right tool:
+        # emissive instances are light meshes, and this path is
+        # route-independent (wide / streamed-sweep / XLA scenes all share
+        # it). Guard the blow-up case loudly.
+        assert t_count <= 8192, (
+            "pdf_li over an emissive instance brute-forces the raw mesh; "
+            f"{t_count} triangles is beyond the supported light-mesh size")
         off = pack.inst_off[mi][si]
         scl = pack.inst_scale[mi][si]
         inv = 1.0 / scl
         o_l = (shade_pos - off[None, :]) * inv
         tmin_l = jnp.full((n,), 1e-3, jnp.float32) * inv
         tmax_l = jnp.full((n,), jnp.inf, jnp.float32)
-        if meta.pallas_blas[mi]:
-            from . import sweep_bvh
-            h = sweep_bvh.intersect_sweep(
-                pack.inst_s_sph[mi], pack.inst_s_bw[mi], pack.bvh_s_inst,
-                pack.inst_s_root[mi], meta.n_blas_tris[mi],
-                meta.n_groups_blas[mi], o_l, wi, tmin_l, tmax_l)
-        else:
-            from . import bvh as bvh_ops
-            h = bvh_ops.intersect_bvh(
-                pack.blas_nodes[mi], pack.blas_tris[mi], o_l, wi,
-                tmin_l, tmax_l, leaf_size=meta.bvh_leaf_size)
-        ti = jnp.clip(h.index, 0, meta.n_blas_tris[mi] - 1)
+        em = pack.inst_em_tris[mi]
+        p0 = em[:, 0:3]
+        from . import intersect as isect
+        h = isect.intersect_triangles(
+            o_l, wi, tmin_l, tmax_l, p0, p0 + em[:, 3:6], p0 + em[:, 6:9])
+        ti = jnp.clip(h.index, 0, t_count - 1)
         rows = take_rows(
-            jnp.concatenate([pack.blas_tris[mi], pack.blas_n[mi]], axis=1),
-            ti)
-        e1, e2 = rows[:, 3:6], rows[:, 6:9]
-        ln = rows[:, 9:12]
+            jnp.concatenate([em[:, 3:9], pack.inst_em_n[mi]], axis=1), ti)
+        e1, e2 = rows[:, 0:3], rows[:, 3:6]
+        ln = rows[:, 6:9]
         area_w = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1) * scl * scl
-        t_count = pack.inst_em_tris[mi].shape[0]
         t_w = jnp.where(h.valid, h.t, 1.0) * scl
         lp = shade_pos + t_w[:, None] * wi
         pdf = distance2(shade_pos, lp) / jnp.maximum(

@@ -92,39 +92,19 @@ def bvh_needed(meta, pack, o, d, tmin, tmax) -> jnp.ndarray:
         return ((m2 <= r * r * 1.0001 + 1e-5)
                 & (tc + r >= tmin) & (tc - r <= tmax) & (tmax >= tmin))
 
-    if meta.pallas_bvh or meta.use_bvh and meta.n_tri:
-        if meta.pallas_bvh:
-            root = pack.bvh_s_root
-            need = need | seg_hits_sphere(root[0:3], root[5])
-        else:
-            # XLA-walk scenes: root AABB -> bounding sphere
-            lo = pack.bvh_nodes[0, :3] if pack.bvh_nodes.shape[0] else None
-            if lo is not None:
-                hi = pack.bvh_nodes[0, 3:6]
-                c = 0.5 * (lo + hi)
-                r = jnp.sqrt(jnp.sum((hi - c) ** 2))
-                need = need | seg_hits_sphere(c, r)
+    if meta.use_bvh and meta.n_tri:
+        # bvh_s_root is always a real sphere (builder computes it for every
+        # mesh regardless of traversal route)
+        root = pack.bvh_s_root
+        need = need | seg_hits_sphere(root[0:3], root[5])
     for mi in range(len(meta.n_inst)):
-        root = (pack.inst_s_root[mi] if meta.pallas_blas[mi]
-                else None)
-        if root is not None:
-            c_l = root[0:3]
-            r_l = root[5]
-            for i in range(meta.n_inst[mi]):
-                c = c_l * pack.inst_scale[mi][i] + pack.inst_off[mi][i]
-                need = need | seg_hits_sphere(
-                    c, r_l * pack.inst_scale[mi][i])
-        else:
-            # row-table path: BLAS root box through each instance transform
-            if pack.blas_nodes[mi].shape[0]:
-                lo = pack.blas_nodes[mi][0, :3]
-                hi = pack.blas_nodes[mi][0, 3:6]
-                c_l = 0.5 * (lo + hi)
-                r_l = jnp.sqrt(jnp.sum((hi - c_l) ** 2))
-                for i in range(meta.n_inst[mi]):
-                    c = c_l * pack.inst_scale[mi][i] + pack.inst_off[mi][i]
-                    need = need | seg_hits_sphere(
-                        c, r_l * pack.inst_scale[mi][i])
+        root = pack.inst_s_root[mi]
+        c_l = root[0:3]
+        r_l = root[5]
+        for i in range(meta.n_inst[mi]):
+            c = c_l * pack.inst_scale[mi][i] + pack.inst_off[mi][i]
+            need = need | seg_hits_sphere(
+                c, r_l * pack.inst_scale[mi][i])
     return need
 
 

@@ -148,6 +148,22 @@ def build_sweep_tables(tris_mt: np.ndarray):
     return bw, sph, root.astype(np.float32), n_groups
 
 
+def mesh_root_sphere(tris_mt: np.ndarray) -> np.ndarray:
+    """[8] f32 bounding sphere (cx,cy,cz,|c|^2,r^2,r,0,0) of a [T,9]
+    Moller-Trumbore triangle table. Used by the kernel's instance pre-test
+    AND by the dense needs-BVH sort-key pre-test (ops/sort.bvh_needed), so
+    the builder computes it for every mesh regardless of traversal route."""
+    a = np.asarray(tris_mt, np.float64)
+    if len(a) == 0:
+        return np.zeros(8, np.float32)
+    p0, e1, e2 = a[:, 0:3], a[:, 3:6], a[:, 6:9]
+    v = np.concatenate([p0, p0 + e1, p0 + e2], axis=0)
+    c = 0.5 * (v.min(axis=0) + v.max(axis=0))
+    r = float(np.sqrt(((v - c) ** 2).sum(axis=1).max())) * (1 + 1e-6)
+    return np.array([c[0], c[1], c[2], float(c @ c), r * r, r, 0, 0],
+                    np.float32)
+
+
 def flat_inst(inst_off, inst_scale) -> np.ndarray:
     """SMEM instance table [(I+1)*4]: identity row + (off.xyz, scale)."""
     n = len(inst_scale)
@@ -456,7 +472,7 @@ def intersect_sweep(sph, bw, inst_flat, root, n_tris, n_groups,
                     o, d, tmin, tmax, *, n_inst: int = 0,
                     any_hit: bool = False, interpret: bool = False,
                     with_stats: bool = False, stream_bw: bool | None = None,
-                    pps: int = 8):
+                    pps: int = 4):
     """MXU cull-sweep closest/any hit over 128-ray packets.
 
     sph [8,Gp] f32, bw [12,Tp] f32, inst_flat [(I+1)*4] f32 (SMEM),
@@ -472,6 +488,12 @@ def intersect_sweep(sph, bw, inst_flat, root, n_tris, n_groups,
     gp = sph.shape[1]
     if stream_bw is None:
         stream_bw = not fits_vmem(n_tris)
+    # residency contract (r4 VERDICT task 8): the resident mode pins the
+    # whole BW table in VMEM — a mesh beyond the budget MUST stream, or the
+    # kernel silently spills/OOMs under the compiler-param slack below
+    assert stream_bw or fits_vmem(n_tris), (
+        f"{n_tris} triangles exceed the resident-sweep VMEM budget "
+        f"({_VMEM_BUDGET >> 20} MiB); call with stream_bw=True")
 
     kernel = functools.partial(
         _sweep_kernel, n_tris=n_tris, n_groups=n_groups,

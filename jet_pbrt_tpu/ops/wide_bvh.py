@@ -631,7 +631,7 @@ def intersect_wide(meta_tbl, bounds_pl, tris_pl, inst_flat, n_tris,
                    o, d, tmin, tmax, *, leaf_size: int, blas_root: int = 0,
                    has_inst: bool = False, any_hit: bool = False,
                    interpret: bool = False, with_stats: bool = False,
-                   n_int_pop: int = 4, n_leaf_pop: int = 4):
+                   n_int_pop: int = 2, n_leaf_pop: int = 4):
     """Distance-ordered 8-wide packet traversal (closest or any hit).
 
     meta_tbl [Nm*8] i32 flat push templates (SMEM), bounds_pl [48,Np] bf16,

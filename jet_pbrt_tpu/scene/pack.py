@@ -83,21 +83,36 @@ class SceneMeta:
     n_blas_nodes: tuple = ()
     n_blas_tris: tuple = ()
     n_tlas_nodes: tuple = ()
-    # whether traversal should take the Pallas cull-sweep kernel (decided
-    # at build time: TPU backend + tables fit VMEM; the builder only
-    # populates the matching table layout, so this is also a memory-layout
-    # contract)
+    # Traversal routing, decided at build time (see scene/builder.py and
+    # the committed A/B in scripts/kernel_ab_r5_results.txt):
+    #   wide_*   -> 8-wide Pallas packet kernel (TPU, tables fit VMEM)
+    #   pallas_* -> HBM-streamed MXU cull-sweep (TPU, mesh beyond VMEM)
+    #   neither  -> XLA skip-link walk over the row tables
+    # The builder only populates the matching table layout, so these are
+    # also memory-layout contracts.
     pallas_bvh: bool = False
     pallas_blas: tuple = ()
+    wide_bvh: bool = False
+    wide_blas: tuple = ()
+    wide_blas_root: tuple = ()   # per-family TLAS wide-node count
     # 128-tri cull-group counts for the sweep kernel (ops/sweep_bvh.py)
     n_groups_bvh: int = 0
     n_groups_blas: tuple = ()
-    # triangles per BVH leaf (static unroll factor in the XLA walk)
+    # triangles per BVH leaf (static unroll factor in the XLA walk / wide
+    # kernel) — soup and per-family
     bvh_leaf_size: int = 4
+    blas_leaf_size: tuple = ()
 
     @property
     def n_lights(self) -> int:
         return len(self.lights)
+
+    @property
+    def kernel_routed(self) -> bool:
+        """True when any mesh routes through a Pallas traversal kernel —
+        the signal for ray sorting to default ON."""
+        return bool(self.wide_bvh or self.pallas_bvh
+                    or any(self.wide_blas) or any(self.pallas_blas))
 
     @property
     def env_light_indices(self) -> tuple:
@@ -171,8 +186,15 @@ class ScenePack(NamedTuple):
     # (meta.pallas_bvh) — carrying both would double BVH HBM for big meshes.
     bvh_s_sph: jnp.ndarray      # [8,Gp] f32 group spheres
     bvh_s_bw: jnp.ndarray       # [12,Tp] f32 Baldwin-Weber rows
-    bvh_s_root: jnp.ndarray     # [8] f32 mesh sphere (SMEM)
+    bvh_s_root: jnp.ndarray     # [8] f32 mesh sphere (SMEM; ALWAYS real —
+                                # also feeds the needs-BVH sort pre-test)
     bvh_s_inst: jnp.ndarray     # [4] f32 identity instance row (SMEM)
+    # 8-wide packet-kernel tables (ops/wide_bvh.py), populated iff
+    # meta.wide_bvh
+    bvh_w_bounds: jnp.ndarray   # [48,Np] bf16 planar child bounds
+    bvh_w_meta: jnp.ndarray     # [N8*8] i32 flat push templates (SMEM)
+    bvh_w_tris: jnp.ndarray     # [9*leaf,Lp] f32 leaf-major triangles
+    bvh_w_inst: jnp.ndarray     # [4] f32 identity instance row (SMEM)
     # instanced-mesh subsystem, one tuple entry per MESH FAMILY: a shared
     # BLAS (bottom-level BVH over the mesh in local space) + a
     # per-instance table + a TLAS over instance world bounds. Instance
@@ -189,8 +211,13 @@ class ScenePack(NamedTuple):
     # shared-BLAS cull-sweep tables for the Pallas kernel, per mesh family
     inst_s_sph: tuple           # ([8,Gp] f32 group spheres (local),)*
     inst_s_bw: tuple            # ([12,Tp] f32 Baldwin-Weber rows,)*
-    inst_s_root: tuple          # ([8] f32 BLAS sphere (SMEM),)*
+    inst_s_root: tuple          # ([8] f32 BLAS sphere (SMEM; always real),)*
     inst_s_tbl: tuple           # ([(I+1)*4] f32 flat off/scale (SMEM),)*
+    # 8-wide packet-kernel tables per family (iff meta.wide_blas[mi])
+    inst_w_bounds: tuple        # ([48,Np] bf16,)*
+    inst_w_meta: tuple          # ([Nm*8] i32 flat templates (SMEM),)*
+    inst_w_tris: tuple          # ([9*leaf,Lp] f32 leaf-major,)*
+    inst_w_inst: tuple          # ([(I+1)*4] f32 flat off/scale (SMEM),)*
     # emissive-instance light-sampling table: the RAW local mesh, exactly
     # one row per real triangle. blas_tris cannot be used for sampling:
     # the BVH build pads leaves by DUPLICATING triangles, which would
@@ -226,7 +253,14 @@ def _kind_hits(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax,
     hits, kinds = [], []
     if meta.n_tri:
         if meta.use_bvh:
-            if meta.pallas_bvh:
+            if meta.wide_bvh:
+                from ..ops import wide_bvh
+                hits.append(wide_bvh.intersect_wide(
+                    pack.bvh_w_meta, pack.bvh_w_bounds, pack.bvh_w_tris,
+                    pack.bvh_w_inst, meta.n_bvh_tris, o, d, tmin, tmax,
+                    leaf_size=meta.bvh_leaf_size, any_hit=any_hit,
+                ))
+            elif meta.pallas_bvh:
                 from ..ops import sweep_bvh
                 hits.append(sweep_bvh.intersect_sweep(
                     pack.bvh_s_sph, pack.bvh_s_bw, pack.bvh_s_inst,
@@ -247,7 +281,17 @@ def _kind_hits(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax,
             )
         kinds.append(KIND_TRI)
     for mi in range(len(meta.n_inst)):
-        if meta.pallas_blas[mi]:
+        if meta.wide_blas[mi]:
+            from ..ops import wide_bvh
+            hits.append(wide_bvh.intersect_wide(
+                pack.inst_w_meta[mi], pack.inst_w_bounds[mi],
+                pack.inst_w_tris[mi], pack.inst_w_inst[mi],
+                meta.n_blas_tris[mi], o, d, tmin, tmax,
+                leaf_size=meta.blas_leaf_size[mi],
+                blas_root=meta.wide_blas_root[mi], has_inst=True,
+                any_hit=any_hit,
+            ))
+        elif meta.pallas_blas[mi]:
             from ..ops import sweep_bvh
             hits.append(sweep_bvh.intersect_sweep(
                 pack.inst_s_sph[mi], pack.inst_s_bw[mi],
@@ -260,7 +304,7 @@ def _kind_hits(meta: SceneMeta, pack: ScenePack, o, d, tmin, tmax,
             hits.append(bvh_ops.intersect_instances(
                 pack.inst_off[mi], pack.inst_scale[mi],
                 pack.blas_nodes[mi], pack.blas_tris[mi], o, d, tmin, tmax,
-                leaf_size=meta.bvh_leaf_size, any_hit=any_hit,
+                leaf_size=meta.blas_leaf_size[mi], any_hit=any_hit,
             ))
         kinds.append(KIND_INST + mi)
     if meta.n_sph:
@@ -500,22 +544,25 @@ def occluded(meta: SceneMeta, pack: ScenePack, p_from, p_to,
         tmax = jnp.where(mask, tmax, -1.0)
     o = p_from
     if sort is None:
-        # production default: only sweep scenes benefit; `sort` is an
-        # explicit parameter so CPU tests exercise the permute/unpermute
+        # production default: only kernel-routed scenes benefit; `sort` is
+        # an explicit parameter so CPU tests exercise the permute/unpermute
         # path exactly (r4 VERDICT task 7)
-        sort = bool(meta.pallas_bvh or any(meta.pallas_blas))
+        sort = meta.kernel_routed
     if sort:
         from ..ops import sort as sort_ops
 
         n = dist.shape[0]
         alive = tmax > 0.0
         key = sort_ops.shadow_sort_key(meta, pack, alive, o, d, tmin, tmax)
-        lane = jnp.arange(n, dtype=jnp.int32)
-        (_, ox, oy, oz, dx, dy, dz, tmin, tmax, lane) = lax.sort(
-            (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-             tmin, tmax, lane), num_keys=1)
-        o = jnp.stack([ox, oy, oz], axis=-1)
-        d = jnp.stack([dx, dy, dz], axis=-1)
+        # argsort + one packed gather: the 2-operand argsort compiles once
+        # for the whole program, unlike a variadic payload sort (~10 s of
+        # XLA compile per occluded site at 10 operands)
+        perm = jnp.argsort(key)
+        state = jnp.concatenate(
+            [o, d, tmin[:, None], tmax[:, None]], axis=1)[perm]
+        o, d = state[:, 0:3], state[:, 3:6]
+        tmin, tmax = state[:, 6], state[:, 7]
+        lane = perm
     hits, kinds = _kind_hits(meta, pack, o, d, tmin, tmax,
                              any_hit=True)
     if not hits:

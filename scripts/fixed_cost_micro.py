@@ -36,10 +36,15 @@ def main():
     meta, pack = scene.meta, scene.pack
     n = 1 << 20
 
+    s_bw, s_sph, s_root, s_ng = S.build_sweep_tables(
+        np.asarray(pack.blas_tris[0]))
+    s_tbl = S.flat_inst(np.asarray(pack.inst_off[0]),
+                        np.asarray(pack.inst_scale[0]))
+
     def sweep(o, d, tmin, tmax, pps=8):
         return S.intersect_sweep(
-            pack.inst_s_sph[0], pack.inst_s_bw[0], pack.inst_s_tbl[0],
-            pack.inst_s_root[0], meta.n_blas_tris[0], meta.n_groups_blas[0],
+            jnp.asarray(s_sph), jnp.asarray(s_bw), jnp.asarray(s_tbl),
+            jnp.asarray(s_root), meta.n_blas_tris[0], s_ng,
             o, d, tmin, tmax, n_inst=meta.n_inst[0], pps=pps).t
 
     k = jax.random.PRNGKey(0)

@@ -71,30 +71,49 @@ def main():
     n = width * width
     n_tris = meta.n_blas_tris[0]
     print(f"bunny {width}x{width}: {n_tris} tris x {meta.n_inst[0]} inst, "
-          f"{meta.n_groups_blas[0]} sweep groups", flush=True)
+          f"routes: wide={meta.wide_blas} sweep={meta.pallas_blas}",
+          flush=True)
+    # the builder now only populates the winning route's tables; the A/B
+    # needs sweep tables regardless, so build them here
+    s_bw, s_sph, s_root, s_ng = S.build_sweep_tables(
+        np.asarray(pack.blas_tris[0]))
+    s_bw, s_sph, s_root = (jnp.asarray(s_bw), jnp.asarray(s_sph),
+                           jnp.asarray(s_root))
+    s_tbl = jnp.asarray(S.flat_inst(np.asarray(pack.inst_off[0]),
+                                    np.asarray(pack.inst_scale[0])))
 
-    # ---- wide-kernel tables (rebuilt from the same mesh) -----------------
+    # ---- wide-kernel tables (rebuilt from the same mesh), per leaf size --
     bunny_tris, _uvs = objio.load_obj(os.path.join(ASSET_DIR, "bunny.obj"))
     tris = np.asarray(bunny_tris, np.float32).copy()
     tris[..., 2] *= -1.0  # flip_handedness, as the scene does
     t0_, t1_, t2_ = tris[:, 0], tris[:, 1], tris[:, 2]
-    leaf = 16
-    blas, border = bvh_ops.build_bvh(t0_, t1_, t2_, leaf_size=leaf)
-    t0s, t1s, t2s = t0_[border], t1_[border], t2_[border]
-    tris_mt = np.concatenate([t0s, t1s - t0s, t2s - t0s], axis=1)
     off = np.asarray(pack.inst_off[0])
     scl = np.asarray(pack.inst_scale[0])
-    nodes = bvh_ops.pack_node_table(blas, len(border), leaf)
-    ib_lo = nodes[0, :3][None] * scl[:, None] + off
-    ib_hi = nodes[0, 3:6][None] * scl[:, None] + off
-    tlas, torder = bvh_ops.build_box_bvh(ib_lo, ib_hi, leaf_size=1)
-    wt = W.wide_tables_instanced(tlas, blas, tris_mt, off[torder],
-                                 scl[torder], leaf)
-    w_bounds, w_meta, w_tris, w_inst, _nw, w_blasroot = wt
-    w_bounds = jnp.asarray(w_bounds)
-    w_meta = jnp.asarray(w_meta)
-    w_tris = jnp.asarray(w_tris)
-    w_inst = jnp.asarray(w_inst)
+
+    def build_wide(leaf_sz):
+        blas, border = bvh_ops.build_bvh(t0_, t1_, t2_, leaf_size=leaf_sz)
+        t0s, t1s, t2s = t0_[border], t1_[border], t2_[border]
+        tmt = np.concatenate([t0s, t1s - t0s, t2s - t0s], axis=1)
+        nodes = bvh_ops.pack_node_table(blas, len(border), leaf_sz)
+        ib_lo = nodes[0, :3][None] * scl[:, None] + off
+        ib_hi = nodes[0, 3:6][None] * scl[:, None] + off
+        tlas, torder = bvh_ops.build_box_bvh(ib_lo, ib_hi, leaf_size=1)
+        wt = W.wide_tables_instanced(tlas, blas, tmt, off[torder],
+                                     scl[torder], leaf_sz)
+        wb, wm, wtr, wi, _nw, wroot = wt
+        return dict(bounds=jnp.asarray(wb), meta=jnp.asarray(wm),
+                    tris=jnp.asarray(wtr), inst=jnp.asarray(wi),
+                    root=wroot, n=len(tmt), tmt=tmt,
+                    nodes=nodes, leaf=leaf_sz)
+
+    wide_tabs = {16: build_wide(16)}
+    leaf = 16
+    tris_mt = wide_tabs[16]["tmt"]
+    nodes = wide_tabs[16]["nodes"]
+    w_bounds, w_meta, w_tris, w_inst = (
+        wide_tabs[16]["bounds"], wide_tabs[16]["meta"],
+        wide_tabs[16]["tris"], wide_tabs[16]["inst"])
+    w_blasroot = wide_tabs[16]["root"]
 
     # XLA-walk tables
     x_nodes = jnp.asarray(nodes)
@@ -137,6 +156,28 @@ def main():
             return (jnp.stack(outs[1:4], -1), jnp.stack(outs[4:7], -1),
                     outs[7], outs[8])
 
+        def dir6(dd):
+            """6-bit direction morton: 2 bits/axis of (d+1)/2."""
+            q = jnp.clip(((dd + 1.0) * 2.0).astype(jnp.int32), 0, 3)
+            x, y, z = q[:, 0], q[:, 1], q[:, 2]
+
+            def spread(v):
+                return (v & 1) | ((v & 2) << 2)
+            return spread(x) | (spread(y) << 1) | (spread(z) << 2)
+
+        def sortpack_key(key, oo, dd, t0v, t1v):
+            outs = jax.lax.sort(
+                (key, oo[:, 0], oo[:, 1], oo[:, 2],
+                 dd[:, 0], dd[:, 1], dd[:, 2], t0v, t1v), num_keys=1)
+            return (jnp.stack(outs[1:4], -1), jnp.stack(outs[4:7], -1),
+                    outs[7], outs[8])
+
+        def morton_of(oo):
+            world_lo_ = world_lo
+            q = jnp.clip(((oo - world_lo_) * world_inv * 128.0)
+                         .astype(jnp.int32), 0, 127)
+            return sort_ops.morton3(q)
+
         classes = {}
         classes["primary"] = (o, d, tmin, tmax)
         # bounce-1: cosine bounce from hits
@@ -148,10 +189,19 @@ def main():
                           rng.stream_bsdf(u_vertex, meta.n_lights)))
         o1 = jnp.where(live[:, None], hit.position, o)
         d1 = jnp.where(live[:, None], wi, d)
-        classes["bounce1"] = sortpack(
-            live, o1, d1,
-            jnp.where(live, pack.ray_eps, jnp.inf),
-            jnp.where(live, jnp.inf, -1.0))
+        b1_t0 = jnp.where(live, pack.ray_eps, jnp.inf)
+        b1_t1 = jnp.where(live, jnp.inf, -1.0)
+        classes["bounce1"] = sortpack(live, o1, d1, b1_t0, b1_t1)
+        # experimental sort keys for the incoherent bounce wave
+        needs1 = sort_ops.bvh_needed(meta, pack, o1, d1, b1_t0, b1_t1)
+        base1 = jnp.where(needs1, 0, jnp.int32(1 << 28))
+        dead1 = jnp.where(live, 0, jnp.int32(1 << 30))
+        classes["b1-dir6-minor"] = sortpack_key(
+            dead1 | base1 | (morton_of(o1) << 6) | dir6(d1),
+            o1, d1, b1_t0, b1_t1)
+        classes["b1-dir6-major"] = sortpack_key(
+            dead1 | base1 | (dir6(d1) << 21) | morton_of(o1),
+            o1, d1, b1_t0, b1_t1)
         # shadow classes at bounce 0
         for name, li_idx in (("shadow-area", 1), ("shadow-env", 0)):
             lm = meta.lights[li_idx]
@@ -165,6 +215,14 @@ def main():
             t1v = jnp.where(useful, dist - pack.ray_eps, -1.0)
             classes[name] = sortpack(useful, hit.position, dd, t0v, t1v,
                                      shadow=True)
+            if name == "shadow-env":
+                needs_e = sort_ops.bvh_needed(meta, pack, hit.position, dd,
+                                              t0v, t1v)
+                key = (jnp.where(useful, 0, jnp.int32(1 << 30))
+                       | jnp.where(needs_e, 0, jnp.int32(1 << 28))
+                       | (dir6(dd) << 21) | morton_of(hit.position))
+                classes["senv-dir6-major"] = sortpack_key(
+                    key, hit.position, dd, t0v, t1v)
         return classes
 
     print("generating wave classes...", flush=True)
@@ -176,17 +234,18 @@ def main():
     def sweep(pps, any_hit=False):
         def f(o, d, tmin, tmax):
             return S.intersect_sweep(
-                pack.inst_s_sph[0], pack.inst_s_bw[0], pack.inst_s_tbl[0],
-                pack.inst_s_root[0], n_tris, meta.n_groups_blas[0],
+                s_sph, s_bw, s_tbl, s_root, n_tris, s_ng,
                 o, d, tmin, tmax, n_inst=meta.n_inst[0], any_hit=any_hit,
                 pps=pps).t
         return f
 
-    def wide(nip, nlp, any_hit=False):
+    def wide(nip, nlp, any_hit=False, leaf_sz=16):
+        tb = wide_tabs[leaf_sz]
+
         def f(o, d, tmin, tmax):
             return W.intersect_wide(
-                w_meta, w_bounds, w_tris, w_inst, len(tris_mt),
-                o, d, tmin, tmax, leaf_size=leaf, blas_root=w_blasroot,
+                tb["meta"], tb["bounds"], tb["tris"], tb["inst"], tb["n"],
+                o, d, tmin, tmax, leaf_size=leaf_sz, blas_root=tb["root"],
                 has_inst=True, any_hit=any_hit,
                 n_int_pop=nip, n_leaf_pop=nlp).t
         return f
@@ -197,6 +256,48 @@ def main():
                 x_off, x_scl, x_nodes, x_tris, o, d, tmin, tmax,
                 leaf_size=leaf, any_hit=any_hit).t
         return f
+
+    if os.environ.get("AB_STATS"):
+        # pop-count forensics: where does the wide kernel spend its pops?
+        def wide_stats(o, d, tmin, tmax):
+            h, st = W.intersect_wide(
+                w_meta, w_bounds, w_tris, w_inst, len(tris_mt),
+                o, d, tmin, tmax, leaf_size=leaf, blas_root=w_blasroot,
+                has_inst=True, with_stats=True)
+            return st
+        ws = jax.jit(wide_stats)
+        for cls in ("primary", "bounce1", "shadow-area", "shadow-env"):
+            vs = variants[0][cls]
+            st = np.asarray(ws(*vs))
+            live_tiles = (st.sum(axis=1) > 0).sum()
+            print(f"{cls}: int pops {st[:,0].sum()}  leaf pops "
+                  f"{st[:,1].sum()}  live tiles {live_tiles}/{st.shape[0]} "
+                  f"avg/live-tile int={st[:,0].sum()/max(live_tiles,1):.0f} "
+                  f"leaf={st[:,1].sum()/max(live_tiles,1):.0f}", flush=True)
+        return
+
+    if os.environ.get("AB_TUNE"):
+        # sort-key x leaf-size x pop-mix tuning on the expensive classes
+        wide_tabs[8] = build_wide(8)
+        for cls in ("bounce1", "b1-dir6-minor", "b1-dir6-major",
+                    "shadow-env", "senv-dir6-major", "primary"):
+            any_hit = cls.startswith("s")
+            vs = [variants[i][cls] for i in range(NVAR)]
+            nlive = int(jnp.sum(vs[0][3] > 0))
+            print(f"{cls}: live={nlive} ({100*nlive/n:.1f}%)", flush=True)
+            for label, fn in (
+                ("wide 2+2 L16", wide(2, 2, any_hit, 16)),
+                ("wide 2+4 L16", wide(2, 4, any_hit, 16)),
+                ("wide 2+2 L8", wide(2, 2, any_hit, 8)),
+                ("wide 2+4 L8", wide(2, 4, any_hit, 8)),
+                ("wide 1+2 L8", wide(1, 2, any_hit, 8)),
+            ):
+                try:
+                    timed(label, fn, vs)
+                except Exception as e:  # noqa: BLE001
+                    print(f"  {label:<28} FAILED: {str(e)[:160]}",
+                          flush=True)
+        return
 
     results = {}
     for cls in ("primary", "bounce1", "shadow-area", "shadow-env"):

@@ -23,8 +23,13 @@ def main():
     width = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     scene = bunny_scene()
     meta, pack = scene.meta, scene.pack
-    assert meta.pallas_blas[0], "sweep tables not built (not on TPU?)"
-    print(f"tris {meta.n_blas_tris[0]} groups {meta.n_groups_blas[0]}")
+    # production routes the bunny through the wide kernel now; this harness
+    # measures the SWEEP, so build its tables directly
+    s_bw, s_sph, s_root, s_ng = S.build_sweep_tables(
+        np.asarray(pack.blas_tris[0]))
+    s_tbl = S.flat_inst(np.asarray(pack.inst_off[0]),
+                        np.asarray(pack.inst_scale[0]))
+    print(f"tris {meta.n_blas_tris[0]} groups {s_ng}")
 
     n = width * width
     cam = camera_mod.make_camera(
@@ -42,8 +47,8 @@ def main():
 
     def isect(o, d, tmin, tmax):
         return S.intersect_sweep(
-            pack.inst_s_sph[0], pack.inst_s_bw[0], pack.inst_s_tbl[0],
-            pack.inst_s_root[0], meta.n_blas_tris[0], meta.n_groups_blas[0],
+            jnp.asarray(s_sph), jnp.asarray(s_bw), jnp.asarray(s_tbl),
+            jnp.asarray(s_root), meta.n_blas_tris[0], s_ng,
             o, d, tmin, tmax, n_inst=meta.n_inst[0], pps=pps)
 
     tmin = jnp.full((n,), RAY_EPS)

@@ -49,7 +49,7 @@ def main():
     n = width * width
     nl = meta.n_lights
     print(f"scene={meta.name} {width}x{width} lights={nl} "
-          f"pallas_blas={meta.pallas_blas}", flush=True)
+          f"wide={meta.wide_blas} sweep={meta.pallas_blas}", flush=True)
 
     cam = camera_mod.make_camera(
         scene.camera.lookfrom, scene.camera.front, scene.camera.vup,

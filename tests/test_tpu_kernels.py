@@ -197,7 +197,8 @@ def test_onchip_bunny_render_finite():
     from jet_pbrt_tpu.models.render import render
 
     bunny = bunny_scene(use_bvh=True)
-    assert bunny.meta.pallas_blas[0], "bunny BLAS should fit VMEM on TPU"
+    assert bunny.meta.wide_blas[0], (
+        "bunny BLAS fits VMEM on TPU -> wide packet kernel route")
     img = np.asarray(render(bunny, 64, 64, spp=4, seed=0, max_depth=3))
     assert np.isfinite(img).all()
     assert img.mean() > 1e-3
