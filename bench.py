@@ -71,44 +71,53 @@ def bench_scene(scene, width: int, n_waves: int, max_depth: int = 5,
         o, d = camera_mod.generate_rays(cam, jnp.stack([x, y], axis=-1))
         colors, st = li_path(meta, pack, o, d, keys, max_depth,
                              with_stats=True, sort_rays=sort_rays)
-        return film + colors, rays + st["rays"]
+        cls = jnp.stack([st["rays_primary"], st["rays_bounce"],
+                         st["rays_shadow"]])
+        return film + colors, rays + st["rays"], cls
 
-    stepj = jax.jit(step, donate_argnums=(0, 1))
+    stepj = jax.jit(step, donate_argnums=(0,))
     film = jnp.zeros((n, 3), jnp.float32)
     rays = jnp.zeros((), jnp.float32)
     # warmup / compile
-    film, rays = stepj(film, rays, scene.pack, jnp.int32(0))
+    film, rays, cls = stepj(film, rays, scene.pack, jnp.int32(0))
     jax.block_until_ready((film, rays))
 
     t0 = time.perf_counter()
     for s in range(1, n_waves + 1):
-        film, rays = stepj(film, rays, scene.pack, jnp.int32(s))
+        film, rays, cls = stepj(film, jnp.zeros((), jnp.float32),
+                                scene.pack, jnp.int32(s))
     jax.block_until_ready((film, rays))
     dt = time.perf_counter() - t0
 
-    # rays counter includes the warmup wave; scale it out
-    return float(rays) * (n_waves / (n_waves + 1)) / dt
+    # `rays` holds one wave's count after the timing loop (reset per call)
+    per_class = {
+        k: round(float(v))
+        for k, v in zip(("primary", "bounce", "shadow"), np.asarray(cls))
+    }
+    return float(rays) * n_waves / dt, per_class
 
 
 def main() -> None:
     from jet_pbrt_tpu.scene.scenes import cornell_box, bunny_scene
 
     cornell = cornell_box(lambert_only=False, use_bvh=False)
-    rps = bench_scene(cornell, width=512, n_waves=32)
+    rps, cls = bench_scene(cornell, width=512, n_waves=32)
     print(json.dumps({
         "metric": "rays/s/chip (cornell path tracing)",
         "value": round(rps),
         "unit": "rays/s",
         "vs_baseline": round(rps / 100e6, 4),
+        "rays_per_wave_by_class": cls,
     }), flush=True)
 
     bunny = bunny_scene()
-    rps_b = bench_scene(bunny, width=1024, n_waves=4, morton=True)
+    rps_b, cls_b = bench_scene(bunny, width=1024, n_waves=16, morton=True)
     print(json.dumps({
         "metric": "rays/s/chip (bunny 4x66k-tri instanced BVH path tracing)",
         "value": round(rps_b),
         "unit": "rays/s",
         "vs_baseline": round(rps_b / 100e6, 4),
+        "rays_per_wave_by_class": cls_b,
     }), flush=True)
 
 

@@ -361,7 +361,9 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
         """Replicated-column one-hot contraction: returns the row_idx'th
         lane of the planar table broadcast across all 128 lanes. bf16
         tables take the single-pass MXU path (exact for 0/1 weights); f32
-        tables use HIGHEST (exact)."""
+        tables use HIGHEST (exact; Precision.HIGH is both inexact for
+        one-hot fetches — measured, scripts/fetch_precision_check.py —
+        and unsupported by the Mosaic dot lowering)."""
         blk = pl.multiple_of((row_idx // 128) * 128, 128)
         cols = table_ref[:, pl.ds(blk, 128)]
         if cols.dtype == jnp.bfloat16:
