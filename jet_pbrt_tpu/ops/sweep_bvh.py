@@ -494,6 +494,11 @@ def intersect_sweep(sph, bw, inst_flat, root, n_tris, n_groups,
     assert stream_bw or fits_vmem(n_tris), (
         f"{n_tris} triangles exceed the resident-sweep VMEM budget "
         f"({_VMEM_BUDGET >> 20} MiB); call with stream_bw=True")
+    if stream_bw and bw.shape[0] == 12:
+        # Mosaic HBM DMA slices must be 8-sublane aligned: the streamed
+        # per-group copy needs a 16-row source (the builder pre-pads for
+        # streamed routes; direct callers get padded here)
+        bw = jnp.pad(bw, ((0, 4), (0, 0)))
 
     kernel = functools.partial(
         _sweep_kernel, n_tris=n_tris, n_groups=n_groups,
@@ -538,7 +543,7 @@ def intersect_sweep(sph, bw, inst_flat, root, n_tris, n_groups,
             pltpu.VMEM((pps, 8, RAYS), jnp.float32),
             pltpu.VMEM((pps, 8, RAYS), jnp.int32),
         ] + ([pltpu.SMEM((2 * pps,), jnp.int32)] if with_stats else [])
-          + ([pltpu.VMEM((pps, 12, GROUP), jnp.float32),
+          + ([pltpu.VMEM((pps, 16, GROUP), jnp.float32),
               pltpu.SemaphoreType.DMA((pps,))] if stream_bw else []),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET + 16 * 1024 * 1024,

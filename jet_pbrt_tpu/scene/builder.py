@@ -549,11 +549,13 @@ class SceneBuilder:
                 bvh_w = (wb, wm, wt, wi)
             elif (n_bvh_tris + 127) // 128 <= sweep.max_groups():
                 # beyond VMEM: HBM-streamed sweep (13-bit group cap = 1M
-                # tris; bigger soups fall through to the XLA walk)
+                # tris; bigger soups fall through to the XLA walk). The BW
+                # table is pre-padded to 16 rows: Mosaic HBM DMA slices
+                # must be 8-sublane aligned.
                 bw_t, sph_t, _r, n_groups_bvh = sweep.build_sweep_tables(
                     bvh_tris)
                 pallas_bvh = True
-                bvh_s = (sph_t, bw_t)
+                bvh_s = (sph_t, np.pad(bw_t, ((0, 4), (0, 0))))
             if wide_bvh or pallas_bvh:
                 # the shading path never reads the soup's row MT table
                 # (unlike blas_tris), so drop both row tables here
@@ -583,7 +585,9 @@ class SceneBuilder:
                 elif (t_i + 127) // 128 <= sweep.max_groups():
                     bw_t, sph_t, _r, ng_t = sweep.build_sweep_tables(
                         f["blas_tris"])
-                    f["s_sph"], f["s_bw"] = sph_t, bw_t
+                    # 16-row pad: streamed DMA slices need 8-row alignment
+                    f["s_sph"] = sph_t
+                    f["s_bw"] = np.pad(bw_t, ((0, 4), (0, 0)))
                     f["s_tbl"] = sweep.flat_inst(f["off"], f["scale"])
                     routed_sweep = True
             if routed_wide or routed_sweep:

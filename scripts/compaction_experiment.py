@@ -28,8 +28,8 @@ def main():
     rows = []
     cornell = cornell_box(lambert_only=False, use_bvh=False)
     for sort in (False, True):
-        rps = bench.bench_scene(cornell, width=512, n_waves=16,
-                                sort_rays=sort)
+        rps, _ = bench.bench_scene(cornell, width=512, n_waves=16,
+                                   sort_rays=sort)
         rows.append(("cornell 512^2 (brute)", "sorted" if sort else "masked",
                      rps))
         print(rows[-1], flush=True)
@@ -37,8 +37,8 @@ def main():
     bunny = bunny_scene(bvh_leaf_size=16)
     for morton in (False, True):
         for sort in (False, True):
-            rps = bench.bench_scene(bunny, width=1024, n_waves=3,
-                                    morton=morton, sort_rays=sort)
+            rps, _ = bench.bench_scene(bunny, width=1024, n_waves=4,
+                                       morton=morton, sort_rays=sort)
             label = ("morton+" if morton else "scanline+") + (
                 "sorted" if sort else "masked")
             rows.append(("bunny 1024^2 (TLAS/BLAS)", label, rps))

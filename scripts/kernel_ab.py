@@ -277,20 +277,19 @@ def main():
         return
 
     if os.environ.get("AB_TUNE"):
-        # sort-key x leaf-size x pop-mix tuning on the expensive classes
-        wide_tabs[8] = build_wide(8)
-        for cls in ("bounce1", "b1-dir6-minor", "b1-dir6-major",
-                    "shadow-env", "senv-dir6-major", "primary"):
+        # pop-mix ILP tuning on the expensive classes (leaf 16 fixed — L8
+        # measured equal, dir6 sort keys measured worse; see git history)
+        for cls in ("bounce1", "shadow-env", "shadow-area", "primary"):
             any_hit = cls.startswith("s")
             vs = [variants[i][cls] for i in range(NVAR)]
             nlive = int(jnp.sum(vs[0][3] > 0))
             print(f"{cls}: live={nlive} ({100*nlive/n:.1f}%)", flush=True)
             for label, fn in (
-                ("wide 2+2 L16", wide(2, 2, any_hit, 16)),
-                ("wide 2+4 L16", wide(2, 4, any_hit, 16)),
-                ("wide 2+2 L8", wide(2, 2, any_hit, 8)),
-                ("wide 2+4 L8", wide(2, 4, any_hit, 8)),
-                ("wide 1+2 L8", wide(1, 2, any_hit, 8)),
+                ("wide 2+4", wide(2, 4, any_hit, 16)),
+                ("wide 2+6", wide(2, 6, any_hit, 16)),
+                ("wide 3+6", wide(3, 6, any_hit, 16)),
+                ("wide 2+8", wide(2, 8, any_hit, 16)),
+                ("wide 4+8", wide(4, 8, any_hit, 16)),
             ):
                 try:
                     timed(label, fn, vs)

@@ -67,7 +67,10 @@ def _mixed_rays(n, lookfrom=(-0.6, 0.8, -0.6), seed=0):
 
 def _mt64(o, d, row):
     """Float64 Möller-Trumbore of one ray against one (p0,e1,e2) row — the
-    host-side oracle for the tie forensic. Returns t (inf on miss)."""
+    host-side oracle for the disagreement forensic. Returns
+    (t, edge_margin) with t=inf on miss; edge_margin = min(u, v, 1-u-v),
+    i.e. how far inside the triangle the hit lies (near-zero = grazing an
+    edge, where f32 kernels can legitimately disagree on accept/reject)."""
     p0, e1, e2 = (np.asarray(row[0:3], np.float64),
                   np.asarray(row[3:6], np.float64),
                   np.asarray(row[6:9], np.float64))
@@ -76,15 +79,16 @@ def _mt64(o, d, row):
     pv = np.cross(d, e2)
     det = e1 @ pv
     if abs(det) < 1e-18:
-        return np.inf
+        return np.inf, -np.inf
     tv = o - p0
     u = (tv @ pv) / det
     qv = np.cross(tv, e1)
     v = (d @ qv) / det
     t = (e2 @ qv) / det
-    if u < -1e-6 or v < -1e-6 or u + v > 1.0 + 1e-6 or t <= 0:
-        return np.inf
-    return t
+    margin = min(u, v, 1.0 - u - v)
+    if margin < -1e-6 or t <= 0:
+        return np.inf, margin
+    return t, margin
 
 
 def test_onchip_sweep_matches_xla():
@@ -115,26 +119,36 @@ def test_onchip_sweep_matches_xla():
     # co-incident neighbor on a few lanes per thousand. Tight agreement on
     # the bulk, loose bound on every lane (catches real under-culling).
     assert np.isclose(ts, tx, rtol=1e-4, atol=1e-4).mean() > 0.995
-    np.testing.assert_allclose(ts, tx, rtol=2e-2, atol=1e-3)
     same = np.asarray(h_s.index)[ok] == np.asarray(h_x.index)[ok]
     assert same.mean() > 0.995
 
-    # ---- tie forensic on every disagreeing lane -------------------------
+    # ---- forensic on EVERY disagreeing lane (replaces the old blanket
+    # rtol=2e-2 allclose, which was not a sound invariant: an f32 grazing
+    # edge rejection can legitimately shift t arbitrarily far) ------------
     on = np.asarray(o)[ok]
     dn = np.asarray(d)[ok]
     is_, ix_ = np.asarray(h_s.index)[ok], np.asarray(h_x.index)[ok]
     bad = np.nonzero(~same | ~np.isclose(ts, tx, rtol=1e-4, atol=1e-4))[0]
     for j in bad:
-        t_s64 = _mt64(on[j], dn[j], mt[is_[j]])
-        t_x64 = _mt64(on[j], dn[j], mt[ix_[j]])
-        # each kernel's reported hit is a real intersection of its triangle
+        t_s64, m_s = _mt64(on[j], dn[j], mt[is_[j]])
+        t_x64, m_x = _mt64(on[j], dn[j], mt[ix_[j]])
+        # each kernel's reported hit is a real f64 intersection of its own
+        # winning triangle at the t it reported
         assert np.isfinite(t_s64), (j, is_[j], ts[j])
         assert np.isfinite(t_x64), (j, ix_[j], tx[j])
-        assert abs(ts[j] - t_s64) <= 2e-2 * t_s64 + 1e-3, (j, ts[j], t_s64)
-        assert abs(tx[j] - t_x64) <= 2e-2 * t_x64 + 1e-3, (j, tx[j], t_x64)
-        # and the two exact distances are a genuine near-tie
-        assert abs(t_s64 - t_x64) <= 2e-2 * min(t_s64, t_x64) + 1e-3, (
-            j, int(is_[j]), int(ix_[j]), t_s64, t_x64)
+        assert abs(ts[j] - t_s64) <= 1e-3 * t_s64 + 1e-4, (j, ts[j], t_s64)
+        assert abs(tx[j] - t_x64) <= 1e-3 * t_x64 + 1e-4, (j, tx[j], t_x64)
+        # and the disagreement itself is one of the two legitimate f32
+        # classes: a genuine near-tie in distance (co-incident surfaces),
+        # or the nearer hit grazes a triangle edge so closely that one
+        # kernel's rounding rejected it (|barycentric margin| ~ f32 noise).
+        # A systematic under-cull — missing a solidly-interior nearer
+        # triangle — fails this.
+        near_tie = abs(t_s64 - t_x64) <= 2e-2 * min(t_s64, t_x64) + 1e-3
+        nearer_margin = m_s if t_s64 <= t_x64 else m_x
+        edge_graze = abs(nearer_margin) <= 1e-3
+        assert near_tie or edge_graze, (
+            j, int(is_[j]), int(ix_[j]), t_s64, t_x64, nearer_margin)
 
     # occlusion with the light just past / just short of the hit
     t_ref = np.asarray(h_x.t)
@@ -187,6 +201,29 @@ def test_onchip_instanced_sweep_matches_xla():
         np.asarray(h_s.index)[va] // mt.shape[0],
         np.asarray(h_x.index)[va] // mt.shape[0],
     )
+
+
+def test_onchip_streamed_sweep_matches_resident():
+    """HBM-streamed sweep (stream_bw=True) vs resident mode ON-CHIP: the
+    interpret-mode bit-exactness test (tests/test_sweep.py) missed a real
+    Mosaic lowering failure here for a full round — streamed DMA slices
+    must be 8-sublane aligned (r5 fix: 16-row padded BW table)."""
+    mt, nodes, leaf = _bunny_mt()
+    bw, sph, root, ng = S.build_sweep_tables(mt)
+    inst = S.flat_inst(np.zeros((0, 3), np.float32), np.zeros(0, np.float32))
+    n = 8 * S.RAYS
+    o, d, tmin, tmax = _mixed_rays(n, seed=7)
+    args = (jnp.asarray(sph), jnp.asarray(bw), jnp.asarray(inst),
+            jnp.asarray(root), mt.shape[0], ng, o, d, tmin, tmax)
+    h_r = S.intersect_sweep(*args, stream_bw=False)
+    h_s = S.intersect_sweep(*args, stream_bw=True)
+    assert np.array_equal(np.asarray(h_r.valid), np.asarray(h_s.valid))
+    ok = np.asarray(h_r.valid)
+    assert ok.sum() > 200
+    np.testing.assert_array_equal(np.asarray(h_r.t)[ok],
+                                  np.asarray(h_s.t)[ok])
+    np.testing.assert_array_equal(np.asarray(h_r.index)[ok],
+                                  np.asarray(h_s.index)[ok])
 
 
 def test_onchip_bunny_render_finite():
