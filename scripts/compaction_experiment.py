@@ -10,8 +10,9 @@ octant / origin Morton) on both scene classes:
   * bunny 1024^2   — 4x instanced ~66k-tri mesh, TLAS/BLAS traversal
 
 Run on the bench chip:  python scripts/compaction_experiment.py
-Prints a markdown table; the committed results live in README.md
-("Wavefront compaction experiment").
+Prints a markdown table; the committed r5 results live in README.md
+("Wavefront compaction experiment" — sorting is ~1.7x on kernel-routed
+scenes, a 3x LOSS on tiny brute-force scenes).
 """
 import os
 import sys
