@@ -61,7 +61,8 @@ def main(argv=None) -> int:
     dt = time.time() - t0
     rays = args.size * args.size * args.spp
     log_print(f"render finished in {dt:.2f}s "
-              f"(~{rays / max(dt, 1e-9) / 1e6:.1f}M primary rays/s)")
+              f"(~{rays / max(dt, 1e-9) / 1e6:.2f}M primary rays/s, "
+              "compile included)")
     base = args.out or f"{scene.meta.name}_{args.spp}"
     path = film_mod.save(img, base, args.format)
     log_print(f"saved {path}")

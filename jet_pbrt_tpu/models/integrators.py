@@ -229,14 +229,17 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
         ray_o = jnp.where(active[:, None], hit.position, ray_o)
         ray_d = jnp.where(active[:, None], wi_world, ray_d)
 
-        if sort_rays:
+        if sort_rays and bounce < 3:
             # regroup lanes for the next bounce's traversal (ops/sort.py):
             # argsort (ONE 2-operand sort, compiled once and reused by
             # every sort site in the program) + ONE bitcast-packed [N,19]
             # gather. A variadic lax.sort carrying the state is ~2x faster
             # at runtime but costs ~35 s of XLA compile PER SITE at this
             # payload count; permutation scatters are ~25x slower than the
-            # gather (scripts/perm_micro.py).
+            # gather (scripts/perm_micro.py). Deep bounces (>=3) skip the
+            # re-sort: active lanes only ever die, so the dead tail from
+            # the last sort persists and only intra-prefix coherence
+            # drifts — the re-sort costs more than it buys there.
             world_lo = pack.world_center - pack.world_radius
             world_inv = 1.0 / jnp.maximum(2.0 * pack.world_radius, 1e-12)
             needs = sort_ops.bvh_needed(

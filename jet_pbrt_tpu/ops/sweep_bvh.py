@@ -1,8 +1,18 @@
-"""Stackless MXU cull-sweep triangle intersection (TPU-native BVH successor).
+"""Stackless MXU cull-sweep triangle intersection — the HBM-STREAMED route
+for meshes beyond VMEM.
 
-Replaces stack-based packet traversal (reference: src/bvh.h:94-146 walks a
-recursive 2-wide pointer tree per ray) with a two-phase data-parallel sweep
-that maps the whole problem onto the MXU:
+Role (r5): the resident sweep lost the committed end-to-end A/B against the
+8-wide packet kernel on every wave class (scripts/kernel_ab_r5_results.txt;
+ops/wide_bvh.py is the production route for VMEM-resident meshes), but its
+streaming mode remains the production traversal for meshes beyond the
+resident VMEM budget — only the 32-byte-per-group sphere table must stay
+on-chip, and it measures 14x the XLA walk at 524k tris
+(scripts/stream_bench.py). The resident mode stays callable for tests and
+harnesses.
+
+The design replaces stack-based packet traversal (reference:
+src/bvh.h:94-146 walks a recursive 2-wide pointer tree per ray) with a
+two-phase data-parallel sweep that maps the whole problem onto the MXU:
 
   1. CULL: triangles are stored in BVH-DFS order and tiled into GROUPS of
      128 consecutive triangles (spatially coherent by construction). Each

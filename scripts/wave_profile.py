@@ -174,8 +174,9 @@ def main():
                 jnp.stack(outs[8:10], axis=-1).astype(jnp.uint32))
             return outs[7], o2, d2, u2
 
-        active, ray_o, ray_d, u = timed(
-            f"sort b{bounce}", sort_step, active, ray_o, ray_d, u)
+        if bounce < 3:  # production skips deep-bounce re-sorts (li_path)
+            active, ray_o, ray_d, u = timed(
+                f"sort b{bounce}", sort_step, active, ray_o, ray_d, u)
 
     total = sum(dt for _, dt in rows)
     print("\n== summary ==")
