@@ -315,7 +315,8 @@ def wide_tables_instanced(tlas_bvh, blas_bvh, tris, inst_off, inst_scale,
 def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
                  t_ref, idx_ref, *refs,
                  n_tris, leaf_size, blas_root, has_inst, occlusion,
-                 with_stats=False, n_int_pop=4, n_leaf_pop=4):
+                 with_stats=False, n_int_pop=4, n_leaf_pop=4,
+                 interpret_mode=False):
     """One ray tile [TILE_S, TILE_L] walks the wide BVH behind segregated
     SMEM node/leaf stacks, retiring n_int_pop internal expansions AND
     n_leaf_pop leaf tests per iteration. rays_ref fields: ox oy oz dx dy dz
@@ -536,7 +537,14 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
                 e1y = row1(tr, r + 4)
                 e1z = row1(tr, r + 5)
                 det = e1x * px + e1y * py + e1z * pz
-                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                if interpret_mode:
+                    rcp = 1.0 / det
+                else:
+                    # approx reciprocal + one Newton step (~1 ulp): the VPU
+                    # divide is the most expensive op in the 16-wide MT chain
+                    rcp = pl.reciprocal(det, approx=True)
+                    rcp = rcp * (2.0 - det * rcp)
+                inv_det = jnp.where(jnp.abs(det) > 1e-12, rcp, 0.0)
                 tx = oxl - row1(tr, r + 0)
                 ty = oyl - row1(tr, r + 1)
                 tz = ozl - row1(tr, r + 2)
@@ -559,27 +567,41 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
                     & (tt > tminl)
                     & (t_w < cap)
                 )
-                t_w = 0.0 if occlusion else t_w
-                tws.append(jnp.where(ok, t_w, jnp.inf))
-            # min-tree over the independent per-slot hits (no serial chain)
-            t_min = tws[0]
-            for k in range(1, leaf_size):
-                t_min = jnp.minimum(t_min, tws[k])
-            slot = jnp.full_like(i_best, leaf_size)
-            for k in range(leaf_size - 1, -1, -1):
-                slot = jnp.where(tws[k] == t_min, k, slot)
-            iw = (jnp.maximum(inst, 0) * n_tris
-                  + leaf_idx * leaf_size + slot)
-            results.append((t_min, iw))
+                if occlusion:
+                    # any-hit needs no distance or index — one OR per tri
+                    # replaces the select + min-tree + slot-select epilogue
+                    tws.append(ok)
+                else:
+                    tws.append(jnp.where(ok, t_w, jnp.inf))
+            if occlusion:
+                ok_any = tws[0]
+                for k in range(1, leaf_size):
+                    ok_any = ok_any | tws[k]
+                results.append((ok_any, None))
+            else:
+                # min-tree over the independent per-slot hits (no serial
+                # chain)
+                t_min = tws[0]
+                for k in range(1, leaf_size):
+                    t_min = jnp.minimum(t_min, tws[k])
+                slot = jnp.full_like(i_best, leaf_size)
+                for k in range(leaf_size - 1, -1, -1):
+                    slot = jnp.where(tws[k] == t_min, k, slot)
+                iw = (jnp.maximum(inst, 0) * n_tris
+                      + leaf_idx * leaf_size + slot)
+                results.append((t_min, iw))
             if with_stats:
                 n_leaf = n_leaf + live.astype(jnp.int32)
         # merge the independent leaf results (short select chain)
         tb = t_best
         ib = i_best
         for t_min, iw in results:
-            better = t_min < tb
-            tb = jnp.where(better, t_min, tb)
-            ib = jnp.where(better, iw, ib)
+            if occlusion:
+                tb = jnp.where(t_min, jnp.float32(0.0), tb)
+            else:
+                better = t_min < tb
+                tb = jnp.where(better, t_min, tb)
+                ib = jnp.where(better, iw, ib)
         lsp_new = lsp_base + off_l
 
         # packet bound: bitcast max of min(tmax, best) over the tile; dead
@@ -651,6 +673,7 @@ def intersect_wide(meta_tbl, bounds_pl, tris_pl, inst_flat, n_tris,
         _wide_kernel, n_tris=n_tris, leaf_size=leaf_size,
         blas_root=blas_root, has_inst=has_inst, occlusion=any_hit,
         with_stats=with_stats, n_int_pop=n_int_pop, n_leaf_pop=n_leaf_pop,
+        interpret_mode=interpret,
     )
     nm, bp = meta_tbl.shape[0], bounds_pl.shape[1]
     tp, ip = tris_pl.shape[1], inst_flat.shape[0]

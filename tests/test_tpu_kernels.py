@@ -203,6 +203,91 @@ def test_onchip_instanced_sweep_matches_xla():
     )
 
 
+def test_onchip_wide_matches_xla():
+    """PRODUCTION-route parity: the 8-wide packet kernel on-chip vs the XLA
+    walk, bunny + 4 instances, closest hit and finite-tmax occlusion, with
+    the float64 disagreement forensic (near-tie or edge-graze only)."""
+    from jet_pbrt_tpu.ops import wide_bvh as W
+    from jet_pbrt_tpu.ops.bvh import build_box_bvh
+
+    mt, blas_nodes, leaf = _bunny_mt()
+    inst_off = np.array([[0, 0, 0], [-100, 0, -100], [0, 0, -100],
+                         [-100, 0, 0]], np.float32)
+    inst_scale = np.array([500.0, 500.0, 500.0, 500.0], np.float32)
+    import jet_pbrt_tpu.ops.bvh as bvh_mod
+    bvh, order = bvh_mod.build_bvh(
+        mt[:, 0:3], mt[:, 0:3] + mt[:, 3:6], mt[:, 0:3] + mt[:, 6:9],
+        leaf_size=leaf)
+    # rebuild the MT table in this build's order so indices line up
+    p0 = mt[:, 0:3][order]
+    p1 = (mt[:, 0:3] + mt[:, 3:6])[order]
+    p2 = (mt[:, 0:3] + mt[:, 6:9])[order]
+    mt2 = np.concatenate([p0, p1 - p0, p2 - p0], axis=1).astype(np.float32)
+    nodes2 = bvh_mod.pack_node_table(bvh, len(order), leaf)
+    ib_lo = nodes2[0, :3][None] * inst_scale[:, None] + inst_off
+    ib_hi = nodes2[0, 3:6][None] * inst_scale[:, None] + inst_off
+    tlas, torder = build_box_bvh(ib_lo, ib_hi, leaf_size=1)
+    off_p, scl_p = inst_off[torder], inst_scale[torder]
+    wb, wm, wt, wi, _nw, wroot = W.wide_tables_instanced(
+        tlas, bvh, mt2, off_p, scl_p, leaf)
+
+    n = 16 * S.RAYS
+    o, d, tmin, tmax = _mixed_rays(n, lookfrom=(-300, 300, -300), seed=11)
+    rng = np.random.default_rng(12)
+    targets = rng.uniform(-150, 100, (n, 3)).astype(np.float32) * [1, 0.5, 1]
+    d = jnp.asarray(targets) - o
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+    h_w = W.intersect_wide(jnp.asarray(wm), jnp.asarray(wb), jnp.asarray(wt),
+                           jnp.asarray(wi), len(mt2), o, d, tmin, tmax,
+                           leaf_size=leaf, blas_root=wroot, has_inst=True)
+    h_x = intersect_instances(jnp.asarray(off_p), jnp.asarray(scl_p),
+                              jnp.asarray(nodes2), jnp.asarray(mt2),
+                              o, d, tmin, tmax, leaf_size=leaf)
+    va = np.asarray(h_x.valid)
+    assert va.sum() > 500
+    assert np.array_equal(va, np.asarray(h_w.valid))
+    tw, tx = np.asarray(h_w.t)[va], np.asarray(h_x.t)[va]
+    assert np.isclose(tw, tx, rtol=1e-4, atol=1e-3).mean() > 0.995
+    iw, ix = np.asarray(h_w.index)[va], np.asarray(h_x.index)[va]
+    assert (iw == ix).mean() > 0.995
+    on, dn = np.asarray(o)[va], np.asarray(d)[va]
+    bad = np.nonzero((iw != ix) | ~np.isclose(tw, tx, rtol=1e-4,
+                                              atol=1e-3))[0]
+    for j in bad:
+        # both hits genuine in their instance's local frame (f64 oracle)
+        def t64(enc):
+            i_, ti_ = int(enc) // len(mt2), int(enc) % len(mt2)
+            o_l = (on[j] - off_p[i_]) / scl_p[i_]
+            t_l, m = _mt64(o_l, dn[j], mt2[ti_])
+            return t_l * scl_p[i_], m
+        t_w64, m_w = t64(iw[j])
+        t_x64, m_x = t64(ix[j])
+        assert np.isfinite(t_w64) and np.isfinite(t_x64), (j, iw[j], ix[j])
+        near_tie = abs(t_w64 - t_x64) <= 2e-2 * min(t_w64, t_x64) + 1e-2
+        nearer_margin = m_w if t_w64 <= t_x64 else m_x
+        assert near_tie or abs(nearer_margin) <= 1e-3, (
+            j, int(iw[j]), int(ix[j]), t_w64, t_x64, nearer_margin)
+
+    # occlusion: light just short / just past the known hit
+    t_ref = np.asarray(h_x.t)
+    t_safe = np.where(va, t_ref, 1.0)
+    h_o = W.intersect_wide(jnp.asarray(wm), jnp.asarray(wb), jnp.asarray(wt),
+                           jnp.asarray(wi), len(mt2), o, d, tmin,
+                           jnp.asarray(np.where(va, t_safe * 0.98, 0.1)),
+                           leaf_size=leaf, blas_root=wroot, has_inst=True,
+                           any_hit=True)
+    frac_occluded_short = np.asarray(h_o.valid)[va].mean()
+    assert frac_occluded_short < 0.02, frac_occluded_short
+    h_o2 = W.intersect_wide(jnp.asarray(wm), jnp.asarray(wb),
+                            jnp.asarray(wt), jnp.asarray(wi), len(mt2),
+                            o, d, tmin,
+                            jnp.asarray(np.where(va, t_safe * 1.02, -1.0)),
+                            leaf_size=leaf, blas_root=wroot, has_inst=True,
+                            any_hit=True)
+    assert np.asarray(h_o2.valid)[va].mean() > 0.98
+
+
 def test_onchip_streamed_sweep_matches_resident():
     """HBM-streamed sweep (stream_bw=True) vs resident mode ON-CHIP: the
     interpret-mode bit-exactness test (tests/test_sweep.py) missed a real
