@@ -520,7 +520,6 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
             inst = (entry >> 26) - 1
             v = (entry & ENTRY_MASK) - LEAF_BIT
             leaf_idx = jnp.clip(v >> 5, 0, tris_ref.shape[1] - 1)
-            count = v & 31
             oxl, oyl, ozl, tminl, scl, inv = inst_xform(inst)
             cap = cap0
             tr = fetch(tris_ref, leaf_idx)          # [9*leaf_size,128]
@@ -558,12 +557,21 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
                 # the world-distance upper bound (cap = min(tmax, best))
                 # must be part of the per-triangle accept even in occlusion
                 # mode: shadow rays carry a finite tmax (light distance) and
-                # must NOT be occluded by geometry beyond it (ADVICE r3 high)
+                # must NOT be occluded by geometry beyond it (ADVICE r3 high).
+                # Three former terms are provably redundant and dropped
+                # (~12% of the leaf VPU chain):
+                #  * (k < count): leaf tables are padded either by
+                #    duplicating real triangles (idempotent for closest hit
+                #    and occlusion; the duplicate row carries identical
+                #    shading data) or with zero rows (det=0 -> rejected
+                #    below);
+                #  * |det| > eps: inv_det is already zeroed there, making
+                #    tt = 0, which fails tt > tminl (tmin is always > 0);
+                #  * min-form barycentric test replaces 3 cmps + 2 ands.
                 ok = (
-                    (k < count)
-                    & live
-                    & (jnp.abs(det) > 1e-12)
-                    & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                    live
+                    & (jnp.minimum(jnp.minimum(uu, vv), 1.0 - uu - vv)
+                       >= 0.0)
                     & (tt > tminl)
                     & (t_w < cap)
                 )
