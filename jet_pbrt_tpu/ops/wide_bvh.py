@@ -341,6 +341,39 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
         stats_ref, stack_ref, tstack_ref = refs
     else:
         stack_ref, tstack_ref = refs
+
+    # dead-tile early exit: one row load + reduce decides whether the
+    # preamble (8 ray-field loads, 3 guarded divides, iota, stack seeds)
+    # runs at all — shadow batches at deep bounces are >95% dead tiles
+    tmax0 = rays_ref[0, 7]
+    bound00 = lax.bitcast_convert_type(tmax0, jnp.int32)
+    any_live = jnp.max(bound00) > 0
+    t_ref[0] = jnp.full((TILE_S, TILE_L), jnp.inf, jnp.float32)
+    idx_ref[0] = jnp.zeros((TILE_S, TILE_L), jnp.int32)
+    if with_stats:
+        tile = pl.program_id(0)
+        stats_ref[tile, 0] = jnp.int32(0)
+        stats_ref[tile, 1] = jnp.int32(0)
+
+    @pl.when(any_live)
+    def _live():
+        _wide_tile(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
+                   t_ref, idx_ref, refs, n_tris=n_tris,
+                   leaf_size=leaf_size, blas_root=blas_root,
+                   has_inst=has_inst, occlusion=occlusion,
+                   with_stats=with_stats, n_int_pop=n_int_pop,
+                   n_leaf_pop=n_leaf_pop, interpret_mode=interpret_mode)
+
+
+def _wide_tile(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
+               t_ref, idx_ref, refs,
+               *, n_tris, leaf_size, blas_root, has_inst, occlusion,
+               with_stats, n_int_pop, n_leaf_pop, interpret_mode):
+    """Traversal body for one LIVE ray tile (see _wide_kernel)."""
+    if with_stats:
+        stats_ref, stack_ref, tstack_ref = refs
+    else:
+        stack_ref, tstack_ref = refs
     ox = rays_ref[0, 0]
     oy = rays_ref[0, 1]
     oz = rays_ref[0, 2]
@@ -451,10 +484,16 @@ def _wide_kernel(meta_ref, bounds_ref, tris_ref, inst_ref, rays_ref,
                     jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                     jnp.maximum(t0z, t1z),
                 )
-                hit = (t_en <= t_ex) & (t_ex > tminl) & (t_en < capl)
+                # clamp-form interval test: lo <= hi <=> the three original
+                # conditions up to boundary-equal cases, which this form
+                # ACCEPTS — conservative over-visits only (tminl > 0 also
+                # makes lo the non-negative entry distance directly)
+                lo = jnp.maximum(t_en, tminl)
+                hi = jnp.minimum(t_ex, capl)
+                hit = lo <= hi
                 # packed child key: WORLD-unit entry distance bitcast to
                 # int (order-preserving, both non-negative) | child slot
-                x = jnp.where(hit, jnp.maximum(t_en, 0.0) * scl, FAR)
+                x = jnp.where(hit, lo * scl, FAR)
                 xk = (bits(x) & ~7) | k
                 # reduce ray-sublanes first: (8,128) -> (1,128)
                 mins.append(jnp.min(xk, axis=0, keepdims=True))
