@@ -285,11 +285,11 @@ def main():
             nlive = int(jnp.sum(vs[0][3] > 0))
             print(f"{cls}: live={nlive} ({100*nlive/n:.1f}%)", flush=True)
             for label, fn in (
+                ("wide 2+3", wide(2, 3, any_hit, 16)),
                 ("wide 2+4", wide(2, 4, any_hit, 16)),
-                ("wide 2+6", wide(2, 6, any_hit, 16)),
-                ("wide 3+6", wide(3, 6, any_hit, 16)),
-                ("wide 2+8", wide(2, 8, any_hit, 16)),
-                ("wide 4+8", wide(4, 8, any_hit, 16)),
+                ("wide 3+4", wide(3, 4, any_hit, 16)),
+                ("wide 2+5", wide(2, 5, any_hit, 16)),
+                ("wide 1+3", wide(1, 3, any_hit, 16)),
             ):
                 try:
                     timed(label, fn, vs)
