@@ -196,8 +196,15 @@ def li_path(meta, pack, o, d, u, max_depth: int, mis: bool = False,
             ) * (w_l if isinstance(w_l, float) else w_l[:, None])
             nee_batch.append((useful, _sg(ls.pos), contrib))
         for useful, pos, contrib in nee_batch:
-            occ = scene_pack.occluded(meta, pack, hit.position, pos,
-                                      mask=useful)
+            # deep bounces skip the shadow-batch re-sort: the wave is
+            # already liveness-compacted by the earlier bounce sorts, so
+            # the few useful lanes sit in the first tiles and the ~11 ms
+            # of per-call sort machinery outweighs the lost octant
+            # grouping (the unsorted-RANDOM-mask numbers in
+            # scripts/occl_micro.py do not apply to a compacted wave)
+            occ = scene_pack.occluded(
+                meta, pack, hit.position, pos, mask=useful,
+                sort=(meta.kernel_routed and bounce < 2))
             L = L + jnp.where((useful & ~occ)[:, None], contrib, 0.0)
 
         # -- BSDF sampling (reference: src/integrator.cc:375-379) ----------
