@@ -279,17 +279,16 @@ def main():
     if os.environ.get("AB_TUNE"):
         # pop-mix ILP tuning on the expensive classes (leaf 16 fixed — L8
         # measured equal, dir6 sort keys measured worse; see git history)
-        for cls in ("bounce1", "shadow-env", "shadow-area", "primary"):
+        for cls in ("shadow-env", "shadow-area"):
             any_hit = cls.startswith("s")
             vs = [variants[i][cls] for i in range(NVAR)]
             nlive = int(jnp.sum(vs[0][3] > 0))
             print(f"{cls}: live={nlive} ({100*nlive/n:.1f}%)", flush=True)
             for label, fn in (
-                ("wide 2+3", wide(2, 3, any_hit, 16)),
                 ("wide 2+4", wide(2, 4, any_hit, 16)),
-                ("wide 3+4", wide(3, 4, any_hit, 16)),
-                ("wide 2+5", wide(2, 5, any_hit, 16)),
-                ("wide 1+3", wide(1, 3, any_hit, 16)),
+                ("wide 2+6", wide(2, 6, any_hit, 16)),
+                ("wide 2+8", wide(2, 8, any_hit, 16)),
+                ("wide 3+6", wide(3, 6, any_hit, 16)),
             ):
                 try:
                     timed(label, fn, vs)
